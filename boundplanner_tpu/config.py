@@ -1,0 +1,95 @@
+"""Configuration for the TPU-native BoundPlanner/BoundMPC engine.
+
+Mirrors the knob surface of the reference (`bound_planner/utils/util_functions.py:11-50`
+``Params`` namedtuple and the module-level set-size literals) as frozen
+dataclasses usable as static jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+# Fixed problem dimensions (reference: N=15, nr_segs=4, 7 joints,
+# 15-row MPC sets / 20-row planner sets;
+# `casadi_ocp_formulation.py:29`, `BoundPlanner.py:51`).
+NUM_JOINTS = 7
+MPC_SET_ROWS = 15
+PLANNER_SET_ROWS = 20
+NUM_LINK_SETS = 6  # collision frames constrained inside the OCP
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCParams:
+    """Static MPC configuration (hashable → usable as a jit static arg)."""
+
+    n: int = 15                # horizon length N
+    dt: float = 0.1            # sampling time [s]
+    nr_segs: int = 4           # path segments visible to the OCP window
+    max_set_size: int = MPC_SET_ROWS
+    # Objective weights, same layout as the reference weight vector
+    # (w_p, w_r, w_v_p, w_v_r, w_phi, w_dphi, w_dq, w_jerk, w_term,
+    #  w_slack, w_dslack) — `util_functions.py:34-48`.
+    weights: Tuple[float, ...] = ()
+    # SQP solver knobs (new design — replaces the Ipopt option block,
+    # `BoundMPC.py:202-224`).
+    sqp_iters: int = 12
+    qp_iters: int = 25
+    line_search_steps: int = 6
+    merit_penalty: float = 1e3
+
+    def __post_init__(self):
+        if not self.weights:
+            object.__setattr__(self, "weights", tuple(default_weights()))
+
+    @property
+    def weights_array(self) -> np.ndarray:
+        return np.asarray(self.weights, dtype=np.float64)
+
+
+def default_weights() -> np.ndarray:
+    """Default objective weights, numerically identical to the reference
+    (`util_functions.py:14-48`)."""
+    w_p = 0.05
+    w_r = 0.1
+    w_v_p = 0.1
+    w_v_r = 0.01
+    w_speed = 0.5
+    w_phi = 5.5 * w_speed
+    w_dphi = 4.06
+    scal = 0.5 / w_phi
+    w_phi *= scal
+    w_dphi *= scal
+    w_dq = 0.001
+    w_jerk = 0.0001
+    w_term = 1.0
+    w_slack = 10.0
+    w_dslack = 500.0
+    return np.array(
+        [w_p, w_r, w_v_p, w_v_r, w_phi, w_dphi, w_dq, w_jerk, w_term, w_slack, w_dslack]
+    )
+
+
+def default_mpc_params() -> MPCParams:
+    return MPCParams()
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerParams:
+    """Static planner configuration (reference `BoundPlanner.py:27-58`)."""
+
+    e_p_max: float = 0.5
+    obs_size_increase: float = 0.08
+    workspace_max: Tuple[float, float, float] = (1.0, 1.0, 1.2)
+    workspace_min: Tuple[float, float, float] = (-1.0, -1.0, 0.0)
+    max_set_size: int = PLANNER_SET_ROWS
+    length_ee: float = 0.05
+    max_iters: int = 20
+    nr_optimized: int = 10
+    nr_free_mid: int = 5
+    max_samples: int = 500
+    w_size: float = 0.1
+    c_fit: float = 1.0
+    w_bias: float = 0.01

@@ -1,0 +1,188 @@
+"""Batched dense convex-QP solver (Mehrotra predictor-corrector IPM).
+
+One TPU-native solver covers every convex subproblem of the engine, in
+place of the reference's zoo of native solvers:
+
+- point-into-set projection QPs   (qpOASES/OSQP,
+  ref `utils/optimization_functions.py:107-137`, `ConvexSetFinder.py:10-49`)
+- line-into-set projection QPs    (qpOASES, `ConvexSetFinder.py:52-99`)
+- EE-fit feasibility problems     (qpOASES, `optimization_functions.py:140-183`)
+- kinked-path via-point QPs       (qpOASES, `optimization_functions.py:186-224`)
+- set-intersection LPs            (HiGHS linprog, `BoundPlanner.py:774-787`)
+- the SQP subproblem of the BoundMPC optimal control problem
+  (the role of Ipopt's inner iterations, `casadi_ocp_formulation.py:418`)
+
+Design: everything is dense, fixed-shape and expressed as matmuls +
+Cholesky factorizations, which is exactly what the MXU wants. Problems are
+batched with ``vmap``; iteration is a fixed-trip-count ``lax.fori_loop``
+with masked updates after convergence so a whole batch stays in lockstep.
+
+Problem form::
+
+    minimize    0.5 x^T P x + q^T x
+    subject to  G x <= h
+
+(boxes and equalities are encoded as rows of G by callers; padded inactive
+rows use h >> 0 and are harmless to the IPM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve
+
+
+class QPSolution(NamedTuple):
+    x: jax.Array        # primal solution (n,)
+    z: jax.Array        # inequality multipliers (m,)
+    s: jax.Array        # slacks h - Gx (m,)
+    r_p: jax.Array      # final primal residual (scalar, inf-norm)
+    r_d: jax.Array      # final dual residual (scalar, inf-norm)
+    gap: jax.Array      # final complementarity s.z/m
+    success: jax.Array  # bool: residuals below tolerance
+
+
+def _step_len(v, dv, tau=0.995):
+    """Largest alpha in (0, 1] with v + alpha dv >= (1 - tau) v."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, tau * jnp.min(ratio))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def solve_qp(
+    p_mat: jax.Array,
+    q_vec: jax.Array,
+    g_mat: jax.Array,
+    h_vec: jax.Array,
+    x0: Optional[jax.Array] = None,
+    iters: int = 30,
+    tol: float = 1e-9,
+    reg: float = 1e-10,
+) -> QPSolution:
+    """Solve one dense QP; ``vmap`` over leading axes for batches."""
+    n = q_vec.shape[0]
+    m = h_vec.shape[0]
+    dtype = q_vec.dtype
+
+    x = jnp.zeros(n, dtype) if x0 is None else x0
+    s = jnp.maximum(h_vec - g_mat @ x, 1.0)
+    z = jnp.ones(m, dtype)
+
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    def body(_, carry):
+        x, s, z, done = carry
+
+        r_d = p_mat @ x + q_vec + g_mat.T @ z           # dual residual
+        r_p = g_mat @ x + s - h_vec                      # primal residual
+        mu = jnp.dot(s, z) / m
+
+        w = z / s                                        # (m,)
+        kkt = p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
+        chol = cho_factor(kkt)
+
+        def solve_dx(r_c):
+            rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)
+            dx = cho_solve(chol, rhs)
+            ds = -r_p - g_mat @ dx
+            dz = -(r_c + z * ds) / s
+            return dx, ds, dz
+
+        # predictor (affine)
+        r_c_aff = s * z
+        dx_a, ds_a, dz_a = solve_dx(r_c_aff)
+        alpha_p = _step_len(s, ds_a)
+        alpha_d = _step_len(z, dz_a)
+        mu_aff = jnp.dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / m
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+
+        # corrector
+        r_c = s * z - sigma * mu + ds_a * dz_a
+        dx, ds, dz = solve_dx(r_c)
+        alpha_p = _step_len(s, ds)
+        alpha_d = _step_len(z, dz)
+        alpha = jnp.minimum(alpha_p, alpha_d)
+
+        x_new = x + alpha * dx
+        s_new = s + alpha * ds
+        z_new = z + alpha * dz
+
+        keep = done | ~jnp.isfinite(alpha)
+        x = jnp.where(keep, x, x_new)
+        s = jnp.where(keep, s, s_new)
+        z = jnp.where(keep, z, z_new)
+
+        conv = (
+            (jnp.max(jnp.abs(r_p)) < tol)
+            & (jnp.max(jnp.abs(r_d)) < tol)
+            & (mu < tol)
+        )
+        return x, s, z, done | conv
+
+    x, s, z, _ = jax.lax.fori_loop(
+        0, iters, body, (x, s, z, jnp.asarray(False))
+    )
+
+    r_d = jnp.max(jnp.abs(p_mat @ x + q_vec + g_mat.T @ z))
+    r_p = jnp.max(jnp.maximum(g_mat @ x - h_vec, 0.0))
+    gap = jnp.dot(s, z) / m
+    success = (r_p < 1e-6) & (r_d < 1e-4)
+    return QPSolution(x=x, z=z, s=s, r_p=r_p, r_d=r_d, gap=gap, success=success)
+
+
+def solve_projection(g_mat, h_vec, target, iters: int = 30):
+    """min |x - target|^2  s.t. G x <= h  — the projection QP of
+    `optimization_functions.py:107-137` / `ConvexSetFinder.py:10-49`."""
+    n = target.shape[0]
+    p_mat = 2.0 * jnp.eye(n, dtype=target.dtype)
+    q_vec = -2.0 * target
+    return solve_qp(p_mat, q_vec, g_mat, h_vec, x0=None, iters=iters)
+
+
+def solve_line_projection(g_mat, h_vec, p0, p1, iters: int = 30):
+    """min |p0 + phi (p1-p0) - x|^2  s.t. G x <= h, 0 <= phi <= 1 —
+    the line projection QP of `ConvexSetFinder.py:52-99`.
+
+    Decision vector y = (x, phi) in R^4. Returns (x, phi, sol).
+    """
+    dtype = p0.dtype
+    d = p1 - p0
+    # cost: |x - phi d - p0|^2
+    p_mat = jnp.zeros((4, 4), dtype)
+    p_mat = p_mat.at[:3, :3].set(2.0 * jnp.eye(3, dtype=dtype))
+    p_mat = p_mat.at[:3, 3].set(-2.0 * d)
+    p_mat = p_mat.at[3, :3].set(-2.0 * d)
+    p_mat = p_mat.at[3, 3].set(2.0 * jnp.dot(d, d) + 1e-9)
+    q_vec = jnp.concatenate([-2.0 * p0, jnp.array([2.0 * jnp.dot(p0, d)], dtype)])
+    m = h_vec.shape[0]
+    g_full = jnp.zeros((m + 2, 4), dtype)
+    g_full = g_full.at[:m, :3].set(g_mat)
+    g_full = g_full.at[m, 3].set(1.0)
+    g_full = g_full.at[m + 1, 3].set(-1.0)
+    h_full = jnp.concatenate([h_vec, jnp.array([1.0, 0.0], dtype)])
+    sol = solve_qp(p_mat, q_vec, g_full, h_full, iters=iters)
+    return sol.x[:3], sol.x[3], sol
+
+
+def solve_feasibility(g_mat, h_vec, x0=None, iters: int = 30, eps: float = 1e-6):
+    """Phase-1: minimize the worst violation t of G x <= h + t.
+
+    Replaces the qpOASES "fit" feasibility probes
+    (`optimization_functions.py:140-183`) and the HiGHS intersection LP
+    (`BoundPlanner.py:774-787`). Returns (x, t, sol): feasible iff t <~ 0.
+    """
+    n = g_mat.shape[1]
+    m = h_vec.shape[0]
+    dtype = h_vec.dtype
+    p_mat = jnp.eye(n + 1, dtype=dtype) * eps
+    q_vec = jnp.zeros(n + 1, dtype).at[n].set(1.0)
+    g_full = jnp.concatenate([g_mat, -jnp.ones((m, 1), dtype)], axis=1)
+    x0_full = None if x0 is None else jnp.concatenate(
+        [x0, jnp.array([jnp.max(g_mat @ x0 - h_vec) + 1.0], dtype)]
+    )
+    sol = solve_qp(p_mat, q_vec, g_full, h_vec, x0=x0_full, iters=iters)
+    return sol.x[:n], sol.x[n], sol

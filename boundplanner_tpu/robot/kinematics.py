@@ -1,0 +1,209 @@
+"""Pure-JAX kinematics of the KUKA iiwa14.
+
+TPU-native replacement for the reference's Pinocchio / serialized-CasADi
+kinematics (`bound_planner/RobotModel/RobotModel.py:146-267` and the
+``*.ca`` blobs). The kinematic chain is transcribed from
+`bound_planner/RobotModel/iiwa.urdf`:
+
+- 7 revolute joints, each about its local z axis (`iiwa.urdf:26,41,56,71,86,107,122`)
+- fixed joint origins (xyz / rpy, URDF convention R = Rz(y)Ry(p)Rx(r)):
+    joint_1: xyz (0,0,0.1525)   rpy (0,0,0)            `iiwa.urdf:25`
+    joint_2: xyz (0,0,0.2075)   rpy (pi/2,0,pi)        `iiwa.urdf:40`
+    joint_3: xyz (0,0.2325,0)   rpy (pi/2,0,pi)        `iiwa.urdf:55`
+    joint_4: xyz (0,0,0.1875)   rpy (pi/2,0,0)         `iiwa.urdf:70`
+    joint_5: xyz (0,0.2125,0)   rpy (-pi/2,pi,0)       `iiwa.urdf:85`
+    joint_6: xyz (0,0,0.1875)   rpy (pi/2,0,0)         `iiwa.urdf:107`
+    joint_7: xyz (0,0.0796,0)   rpy (-pi/2,pi,0)       `iiwa.urdf:122`
+- end-effector frame: from link_7, xyz (0,0,0.21), rpy (0,-1.575,-1.575)
+  (`iiwa.urdf:137`)
+- collision frames (ref `RobotModel.py:27-35`): origins of joints 3..7,
+  link4_col (link_4 + xyz (0,0.3,0), `iiwa.urdf:91`), end_effector_col
+  (link_7 + xyz (0,0,0.13), `iiwa.urdf:143`).
+
+The frame Jacobian follows Pinocchio's LOCAL_WORLD_ALIGNED convention
+(world-aligned axes at the end-effector point): column i is
+``[z_i x (p_ee - p_i); z_i]``. Its time derivative is obtained by a
+``jvp`` of the Jacobian map — exact, no finite differences.
+
+All functions are shape-static, differentiable and ``vmap``-able.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.so3 import matrix_to_rotvec
+
+NUM_JOINTS = 7
+
+_PI = np.pi
+_HPI = np.pi / 2.0
+
+# (xyz, rpy) of each joint's fixed placement relative to the previous frame.
+_JOINT_XYZ = np.array(
+    [
+        [0.0, 0.0, 0.1525],
+        [0.0, 0.0, 0.2075],
+        [0.0, 0.2325, 0.0],
+        [0.0, 0.0, 0.1875],
+        [0.0, 0.2125, 0.0],
+        [0.0, 0.0, 0.1875],
+        [0.0, 0.0796, 0.0],
+    ]
+)
+_JOINT_RPY = np.array(
+    [
+        [0.0, 0.0, 0.0],
+        [_HPI, 0.0, _PI],
+        [_HPI, 0.0, _PI],
+        [_HPI, 0.0, 0.0],
+        [-_HPI, _PI, 0.0],
+        [_HPI, 0.0, 0.0],
+        [-_HPI, _PI, 0.0],
+    ]
+)
+_EE_XYZ = np.array([0.0, 0.0, 0.21])
+_EE_RPY = np.array([0.0, -1.575, -1.575])
+_LINK4_COL_XYZ = np.array([0.0, 0.3, 0.0])
+_EE_COL_XYZ = np.array([0.0, 0.0, 0.13])
+
+
+def _rpy_to_matrix(rpy: np.ndarray) -> np.ndarray:
+    """URDF rpy convention: R = Rz(yaw) @ Ry(pitch) @ Rx(roll)."""
+    r, p, y = rpy
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+# Static fixed transforms, computed once at import in float64.
+_JOINT_R = np.stack([_rpy_to_matrix(r) for r in _JOINT_RPY])  # (7, 3, 3)
+_EE_R = _rpy_to_matrix(_EE_RPY)
+
+
+def _rotz(q):
+    c, s = jnp.cos(q), jnp.sin(q)
+    one = jnp.ones_like(c)
+    zero = jnp.zeros_like(c)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, zero]),
+            jnp.stack([s, c, zero]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+
+def fk_frames(q):
+    """World placements of all 7 joint frames + EE + collision frames.
+
+    Returns a dict with:
+      ``r``  (7,3,3)  rotation of each joint frame (after the joint motion)
+      ``p``  (7,3)    origin of each joint frame (= Pinocchio ``oMi`` translation)
+      ``r_ee`` (3,3), ``p_ee`` (3,)  end_effector_link frame
+      ``p_col`` (7,3) collision points: joints 3..7, link4_col, ee_col
+        (ordering of ref `RobotModel.py:27-35`)
+    """
+    dtype = jnp.asarray(q).dtype
+    joint_r = jnp.asarray(_JOINT_R, dtype=dtype)
+    joint_xyz = jnp.asarray(_JOINT_XYZ, dtype=dtype)
+
+    rs = []
+    ps = []
+    r_cur = jnp.eye(3, dtype=dtype)
+    p_cur = jnp.zeros(3, dtype=dtype)
+    for i in range(NUM_JOINTS):
+        p_cur = p_cur + r_cur @ joint_xyz[i]
+        r_cur = r_cur @ joint_r[i] @ _rotz(q[i])
+        rs.append(r_cur)
+        ps.append(p_cur)
+    r = jnp.stack(rs)
+    p = jnp.stack(ps)
+
+    r_ee = r[6] @ jnp.asarray(_EE_R, dtype=dtype)
+    p_ee = p[6] + r[6] @ jnp.asarray(_EE_XYZ, dtype=dtype)
+
+    p_link4_col = p[3] + r[3] @ jnp.asarray(_LINK4_COL_XYZ, dtype=dtype)
+    p_ee_col = p[6] + r[6] @ jnp.asarray(_EE_COL_XYZ, dtype=dtype)
+    p_col = jnp.concatenate(
+        [p[2:7], p_link4_col[None], p_ee_col[None]], axis=0
+    )  # (7, 3)
+
+    return {"r": r, "p": p, "r_ee": r_ee, "p_ee": p_ee, "p_col": p_col}
+
+
+def fk_ee_htm(q):
+    """4x4 homogeneous transform of the end effector
+    (ref `RobotModel.py:197-211` hom_transform_endeffector)."""
+    f = fk_frames(q)
+    h = jnp.eye(4, dtype=f["r_ee"].dtype)
+    h = h.at[:3, :3].set(f["r_ee"])
+    h = h.at[:3, 3].set(f["p_ee"])
+    return h
+
+
+def fk_pos(q):
+    """End-effector position (ref `RobotModel.py:146-160`)."""
+    return fk_frames(q)["p_ee"]
+
+
+def fk_pose(q):
+    """6-vector [position; rotation-vector] of the EE (ref `RobotModel.py:183-195`)."""
+    f = fk_frames(q)
+    return jnp.concatenate([f["p_ee"], matrix_to_rotvec(f["r_ee"])])
+
+
+def fk_pos_col_all(q):
+    """All 7 collision-frame positions, (7,3) (ref `RobotModel.py:162-181`)."""
+    return fk_frames(q)["p_col"]
+
+
+def fk_pos_col(q, i: int):
+    """Collision-frame position i (static index)."""
+    return fk_frames(q)["p_col"][i]
+
+
+def jacobian_fk(q):
+    """6x7 frame Jacobian of the EE in LOCAL_WORLD_ALIGNED convention
+    (ref `RobotModel.py:213-231`): rows [linear; angular], column i =
+    [z_i x (p_ee - p_i); z_i] with world-frame joint axes z_i."""
+    f = fk_frames(q)
+    z = f["r"][:, :, 2]  # (7, 3) world joint axes
+    dp = f["p_ee"][None, :] - f["p"]  # (7, 3)
+    jv = jnp.cross(z, dp)  # (7, 3)
+    return jnp.concatenate([jv.T, z.T], axis=0)  # (6, 7)
+
+
+def jacobian_col(q, i: int):
+    """3x7 positional Jacobian of collision frame i (via autodiff)."""
+    return jax.jacfwd(lambda qq: fk_pos_col(qq, i))(q)
+
+
+def djacobian_fk(q, dq):
+    """Time derivative of the LOCAL_WORLD_ALIGNED Jacobian, dJ/dt = (dJ/dq) dq,
+    computed exactly with a jvp (ref `RobotModel.py:233-251`
+    getFrameJacobianTimeVariation)."""
+    return jax.jvp(jacobian_fk, (q,), (dq,))[1]
+
+
+def velocity_ee(q, dq):
+    """Cartesian EE velocity (ref `RobotModel.py:253-256`)."""
+    return (jacobian_fk(q) @ dq)[:3]
+
+
+def omega_ee(q, dq):
+    """EE angular velocity (ref `RobotModel.py:264-267`)."""
+    return (jacobian_fk(q) @ dq)[3:]
+
+
+def forward_kinematics(q, dq):
+    """(pose6, J, dJ) — ref `RobotModel.py:70-77`."""
+    return fk_pose(q), jacobian_fk(q), djacobian_fk(q, dq)

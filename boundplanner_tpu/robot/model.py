@@ -1,0 +1,137 @@
+"""Robot model facade: limits, collision geometry, IK.
+
+Replaces the reference ``RobotModel`` class
+(`bound_planner/RobotModel/RobotModel.py:15-267`). Joint limits are
+transcribed from `bound_planner/RobotModel/iiwa.urdf:27,42,57,72,87,109,124`
+and `RobotModel.py:49-54`; collision sphere radii from `RobotModel.py:37`.
+
+Inverse kinematics re-designs the reference's Ipopt NLP
+(`RobotModel.py:79-130`) as a bounded damped Gauss-Newton iteration in
+pure JAX (jit/vmap-able), minimizing the same objective
+``|fk_pos(q) - pd|^2 + |R(q) Rd^T - I|_F^2``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kinematics as kin
+
+Q_LIM_UPPER = np.array(
+    [
+        2.9670597283903604,
+        2.0943951023931953,
+        2.9670597283903604,
+        2.0943951023931953,
+        2.9670597283903604,
+        2.0943951023931953,
+        3.0543261909900763,
+    ]
+)
+Q_LIM_LOWER = -Q_LIM_UPPER
+DQ_LIM = 10.0 * np.ones(7)
+TAU_LIM_UPPER = np.array([320.0, 320.0, 176.0, 176.0, 110.0, 40.0, 40.0])
+TAU_LIM_LOWER = -TAU_LIM_UPPER
+U_MAX = 35.0
+U_MIN = -35.0
+DDQ_LIM = 5.0  # acceleration bound used by the OCP (ref `BoundMPC.py:182`)
+
+COL_JOINT_SIZES = np.array([0.09, 0.12, 0.09, 0.10, 0.07, 0.09, 0.075])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _ik_gauss_newton(pd, rd, q0, iters: int = 60):
+    """Bounded damped Gauss-Newton IK on the reference objective."""
+    lo = jnp.asarray(Q_LIM_LOWER, dtype=q0.dtype)
+    hi = jnp.asarray(Q_LIM_UPPER, dtype=q0.dtype)
+
+    def residuals(q):
+        f = kin.fk_frames(q)
+        r_pos = f["p_ee"] - pd
+        r_rot = (f["r_ee"] @ rd.T - jnp.eye(3, dtype=q.dtype)).reshape(-1)
+        return jnp.concatenate([r_pos, r_rot])
+
+    def body(carry, _):
+        q, lam = carry
+        r = residuals(q)
+        jac = jax.jacfwd(residuals)(q)
+        h = jac.T @ jac + lam * jnp.eye(7, dtype=q.dtype)
+        step = jnp.linalg.solve(h, jac.T @ r)
+        q_new = jnp.clip(q - step, lo, hi)
+        improved = jnp.sum(residuals(q_new) ** 2) < jnp.sum(r**2)
+        q = jnp.where(improved, q_new, q)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8), lam * 4.0)
+        return (q, lam), None
+
+    (q, _), _ = jax.lax.scan(body, (q0, jnp.asarray(1e-4, q0.dtype)), None, length=iters)
+    return q
+
+
+class RobotModel:
+    """Host-side facade over the pure-JAX kinematics functions."""
+
+    def __init__(self):
+        self.q_lim_upper = Q_LIM_UPPER.copy()
+        self.q_lim_lower = Q_LIM_LOWER.copy()
+        self.dq_lim_upper = DQ_LIM.copy()
+        self.dq_lim_lower = -DQ_LIM.copy()
+        self.tau_lim_upper = TAU_LIM_UPPER.copy()
+        self.tau_lim_lower = TAU_LIM_LOWER.copy()
+        self.u_max = U_MAX
+        self.u_min = U_MIN
+        self.col_joint_sizes = COL_JOINT_SIZES.copy()
+
+    def get_robot_limits(self):
+        return (
+            self.q_lim_upper,
+            self.q_lim_lower,
+            self.dq_lim_upper,
+            self.dq_lim_lower,
+            self.tau_lim_upper,
+            self.tau_lim_lower,
+            self.u_max,
+            self.u_min,
+        )
+
+    # --- kinematics pass-throughs (numpy in / numpy out) ---
+
+    def forward_kinematics(self, q, dq):
+        p, jac, djac = kin.forward_kinematics(jnp.asarray(q), jnp.asarray(dq))
+        return np.asarray(p), np.asarray(jac), np.asarray(djac)
+
+    def fk(self, q):
+        return np.asarray(kin.fk_pose(jnp.asarray(q)))
+
+    def fk_pos(self, q):
+        return np.asarray(kin.fk_pos(jnp.asarray(q)))
+
+    def fk_pos_col(self, q, i):
+        return np.asarray(kin.fk_pos_col_all(jnp.asarray(q)))[i]
+
+    def hom_transform_endeffector(self, q):
+        return np.asarray(kin.fk_ee_htm(jnp.asarray(q)))
+
+    def jacobian_fk(self, q):
+        return np.asarray(kin.jacobian_fk(jnp.asarray(q)))
+
+    def djacobian_fk(self, q, dq):
+        return np.asarray(kin.djacobian_fk(jnp.asarray(q), jnp.asarray(dq)))
+
+    def velocity_ee(self, q, dq):
+        return np.asarray(kin.velocity_ee(jnp.asarray(q), jnp.asarray(dq)))
+
+    def omega_ee(self, q, dq):
+        return np.asarray(kin.omega_ee(jnp.asarray(q), jnp.asarray(dq)))
+
+    def inverse_kinematics(self, pd, rd, q0):
+        """Optimization-based IK (ref `RobotModel.py:132-144`)."""
+        q = _ik_gauss_newton(
+            jnp.asarray(pd, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+            jnp.asarray(rd),
+            jnp.asarray(q0),
+        )
+        return np.asarray(q)

@@ -1,0 +1,140 @@
+"""QP interior-point solver tests against scipy oracles.
+
+Acceptance criterion of the build plan: KKT residuals < 1e-6 vs reference
+solvers on golden instances (SURVEY.md Phase 2).
+"""
+
+import numpy as np
+import pytest
+import scipy.optimize as sopt
+
+import jax
+import jax.numpy as jnp
+
+from boundplanner_tpu.ops.qp import (
+    solve_qp,
+    solve_projection,
+    solve_line_projection,
+    solve_feasibility,
+)
+
+SOLVE_QP = jax.jit(solve_qp)
+
+
+def random_qp(rng, n=6, m=12):
+    a = rng.normal(size=(n, n))
+    p = a @ a.T + 0.1 * np.eye(n)
+    q = rng.normal(size=n)
+    g = rng.normal(size=(m, n))
+    x_feas = rng.normal(size=n) * 0.1
+    h = g @ x_feas + rng.uniform(0.05, 1.0, size=m)  # strictly feasible
+    return p, q, g, h
+
+
+def scipy_qp(p, q, g, h):
+    n = q.shape[0]
+    res = sopt.minimize(
+        lambda x: 0.5 * x @ p @ x + q @ x,
+        np.zeros(n),
+        jac=lambda x: p @ x + q,
+        constraints=[{"type": "ineq", "fun": lambda x: h - g @ x, "jac": lambda x: -g}],
+        method="SLSQP",
+        options={"maxiter": 200, "ftol": 1e-12},
+    )
+    return res.x
+
+
+def test_qp_vs_scipy(rng):
+    for _ in range(20):
+        p, q, g, h = random_qp(rng)
+        sol = SOLVE_QP(*[jnp.asarray(v) for v in (p, q, g, h)])
+        x_ref = scipy_qp(p, q, g, h)
+        assert bool(sol.success)
+        np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=1e-5)
+        # KKT residuals
+        assert float(sol.r_d) < 1e-6
+        assert float(sol.r_p) < 1e-8
+        assert float(sol.gap) < 1e-7
+
+
+def test_qp_active_constraints(rng):
+    """Equality-like: tight box around the unconstrained optimum."""
+    p = 2.0 * np.eye(3)
+    q = np.array([-2.0, -4.0, 2.0])  # unconstrained opt (1, 2, -1)
+    g = np.vstack([np.eye(3), -np.eye(3)])
+    h = np.array([0.5, 0.5, 0.5, 0.5, 0.5, 0.5])
+    sol = SOLVE_QP(*[jnp.asarray(v) for v in (p, q, g, h)])
+    np.testing.assert_allclose(np.asarray(sol.x), [0.5, 0.5, -0.5], atol=1e-7)
+
+
+def test_qp_vmap(rng):
+    ps, qs, gs, hs = [], [], [], []
+    refs = []
+    for _ in range(8):
+        p, q, g, h = random_qp(rng, n=4, m=10)
+        ps.append(p), qs.append(q), gs.append(g), hs.append(h)
+        refs.append(scipy_qp(p, q, g, h))
+    batched = jax.jit(jax.vmap(solve_qp))
+    sol = batched(
+        jnp.asarray(np.array(ps)),
+        jnp.asarray(np.array(qs)),
+        jnp.asarray(np.array(gs)),
+        jnp.asarray(np.array(hs)),
+    )
+    np.testing.assert_allclose(np.asarray(sol.x), np.array(refs), atol=1e-5)
+
+
+def test_projection(rng):
+    """Project a point onto a padded 15-row set (the per-obstacle projection
+    of `ConvexSetFinder.py:465-489`)."""
+    g = np.vstack([np.eye(3), -np.eye(3), np.zeros((9, 3))])
+    h = np.concatenate([0.5 * np.ones(6), 10 * np.ones(9)])
+    target = np.array([2.0, 0.1, -3.0])
+    sol = solve_projection(jnp.asarray(g), jnp.asarray(h), jnp.asarray(target))
+    np.testing.assert_allclose(np.asarray(sol.x), [0.5, 0.1, -0.5], atol=1e-7)
+
+
+def test_line_projection():
+    """Closest point between a segment and a box (ref `ConvexSetFinder.py:52-99`)."""
+    g = np.vstack([np.eye(3), -np.eye(3)])
+    h = 0.5 * np.ones(6)
+    p0 = np.array([2.0, 0.0, 0.0])
+    p1 = np.array([2.0, 4.0, 0.0])
+    x, phi, sol = solve_line_projection(
+        jnp.asarray(g), jnp.asarray(h), jnp.asarray(p0), jnp.asarray(p1)
+    )
+    # optimum is non-unique (a face segment); check optimal distance and
+    # consistency instead of a particular minimizer
+    x = np.asarray(x)
+    phi = float(phi)
+    p_seg = p0 + phi * (p1 - p0)
+    np.testing.assert_allclose(np.linalg.norm(p_seg - x), 1.5, atol=1e-5)
+    assert np.max(g @ x - h) < 1e-6
+    assert -1e-8 <= phi <= 1 + 1e-8
+
+
+def test_feasibility_feasible():
+    g = np.vstack([np.eye(3), -np.eye(3)])
+    h = np.ones(6)
+    x, t, sol = solve_feasibility(jnp.asarray(g), jnp.asarray(h))
+    assert float(t) < 0  # strictly feasible -> negative worst margin
+    assert np.max(g @ np.asarray(x) - h) < 1e-6
+
+
+def test_feasibility_infeasible():
+    # x <= -1 and x >= 1 simultaneously
+    g = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+    h = np.array([-1.0, -1.0])
+    x, t, sol = solve_feasibility(jnp.asarray(g), jnp.asarray(h))
+    assert float(t) > 0.9  # violation ~1
+
+
+def test_lp_intersection(rng):
+    """Set-intersection LP parity with scipy linprog (`BoundPlanner.py:774-787`)."""
+    for _ in range(10):
+        c0 = rng.normal(size=3)
+        g = np.vstack([np.eye(3), -np.eye(3), rng.normal(size=(4, 3))])
+        h = np.concatenate([np.ones(6), g[6:] @ c0 + rng.uniform(-0.2, 0.5, 4)])
+        res = sopt.linprog(np.zeros(3), A_ub=g, b_ub=h, bounds=(None, None))
+        x, t, sol = solve_feasibility(jnp.asarray(g), jnp.asarray(h))
+        assert bool(float(t) < 1e-7) == bool(res.success)
