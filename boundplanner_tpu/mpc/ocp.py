@@ -1,0 +1,323 @@
+"""The BoundMPC optimal control problem, condensed onto the jerk sequence.
+
+TPU-first re-design of the reference NLP
+(`bound_planner/BoundMPC/casadi_ocp_formulation.py:13-421`). The reference
+keeps all states as decision variables (44N+6 = 666 vars) with the jerk-chain
+dynamics as equality constraints and hands the sparse NLP to Ipopt. On TPU
+we exploit that those dynamics (`casadi_ocp_formulation.py:106-164`) are
+*explicit linear recursions*: the joint states (q, dq, ddq) are affine in the
+jerk sequence, the pose states are explicit nonlinear functions of them
+(p = fk(q), v = J(q) dq, trapezoidal integrated omega). Condensing out the
+states leaves an equality-free NLP in
+
+    x = [u_1..u_{N-1} (98) | dslacks (6) | rs0 (1) | drs (N) | ps0 (1) | dps (N)]
+
+of dimension 136 with ~2.4k *inequality* rows — a dense Gauss-Newton
+problem whose linear algebra is all matmuls + small Cholesky: exactly the
+MXU's shape, and trivially batched over scenes with ``vmap``.
+
+The objective is written exactly as a sum of squared residuals (including
+the smooth-one-norm path term via a square-root residual), so the
+Gauss-Newton Hessian approximation reproduces the full cost curvature of
+the reference objective (`casadi_ocp_formulation.py:266-299`,
+`bound_mpc_functions.py:393-428`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MPCParams, MPC_SET_ROWS, NUM_LINK_SETS
+from ..robot import kinematics as kin
+from ..robot.model import DDQ_LIM, DQ_LIM, Q_LIM_LOWER, Q_LIM_UPPER, U_MAX, U_MIN
+from ..path import ref_fns
+
+NJ = 7
+
+
+def n_vars(n: int) -> int:
+    return NJ * (n - 1) + 6 + 1 + n + 1 + n
+
+
+class Decision(NamedTuple):
+    u: jax.Array        # (N, 7) full jerk sequence (u[0] = measured jerk)
+    dslacks: jax.Array  # (6,)
+    rslacks: jax.Array  # (N,)
+    drs: jax.Array      # (N,)
+    pslacks: jax.Array  # (N,)
+    dps: jax.Array      # (N,)
+
+
+def unpack(x, u0, n: int) -> Decision:
+    """Split the condensed decision vector; reconstruct the trapezoid slack
+    trajectories (ref `casadi_ocp_formulation.py:135-141,159-164`)."""
+    dt_idx = 0
+    u_free = x[: NJ * (n - 1)].reshape(n - 1, NJ)
+    u = jnp.concatenate([u0[None, :], u_free], axis=0)
+    o = NJ * (n - 1)
+    dslacks = x[o : o + 6]
+    rs0 = x[o + 6]
+    drs = x[o + 7 : o + 7 + n]
+    ps0 = x[o + 7 + n]
+    dps = x[o + 8 + n : o + 8 + 2 * n]
+    return u, dslacks, rs0, drs, ps0, dps
+
+
+def slack_trajectories(rs0, drs, ps0, dps, dt):
+    """Trapezoidal integration of the slack rates (ref `:135-141`)."""
+    incr_r = 0.5 * dt * (drs[:-1] + drs[1:])
+    rslacks = rs0 + jnp.concatenate([jnp.zeros(1, drs.dtype), jnp.cumsum(incr_r)])
+    incr_p = 0.5 * dt * (dps[:-1] + dps[1:])
+    pslacks = ps0 + jnp.concatenate([jnp.zeros(1, dps.dtype), jnp.cumsum(incr_p)])
+    return rslacks, pslacks
+
+
+def rollout_joints(u, q0, dq0, ddq0, dt):
+    """Joint-space rollout of the jerk-spline chain — exactly the reference
+    dynamics (`casadi_ocp_formulation.py:106-120`): affine in u."""
+
+    def step(carry, uk_pair):
+        q, dq, ddq = carry
+        u_k, u_k1 = uk_pair
+        q_n = q + dt * dq + dt**2 / 2.0 * ddq + dt**3 / 8.0 * u_k + dt**3 / 24.0 * u_k1
+        dq_n = dq + dt * ddq + dt**2 / 3.0 * u_k + dt**2 / 6.0 * u_k1
+        ddq_n = ddq + dt / 2.0 * (u_k + u_k1)
+        return (q_n, dq_n, ddq_n), (q_n, dq_n, ddq_n)
+
+    pairs = (u[:-1], u[1:])
+    _, (qs, dqs, ddqs) = jax.lax.scan(step, (q0, dq0, ddq0), pairs)
+    q = jnp.concatenate([q0[None], qs])
+    dq = jnp.concatenate([dq0[None], dqs])
+    ddq = jnp.concatenate([ddq0[None], ddqs])
+    return q, dq, ddq
+
+
+def rollout_cartesian(q, dq, p0, v0, dt):
+    """Pose/twist trajectories from the joint rollout: p_pos = fk(q),
+    v = J(q) dq, integrated omega by trapezoid (ref `:121-133`)."""
+    jacs = jax.vmap(kin.jacobian_fk)(q[1:])            # (N-1, 6, 7)
+    v_rest = jnp.einsum("kij,kj->ki", jacs, dq[1:])     # (N-1, 6)
+    v = jnp.concatenate([v0[None], v_rest])
+    p_pos_rest = jax.vmap(kin.fk_pos)(q[1:])
+    p_pos = jnp.concatenate([p0[None, :3], p_pos_rest])
+    omega = v[:, 3:]
+    incr = 0.5 * dt * (omega[:-1] + omega[1:])
+    iw = p0[3:] + jnp.concatenate(
+        [jnp.zeros((1, 3), q.dtype), jnp.cumsum(incr, axis=0)]
+    )
+    p = jnp.concatenate([p_pos, iw], axis=1)
+    return p, v
+
+
+def rollout(x, params, cfg: MPCParams):
+    n = cfg.n
+    u, dslacks, rs0, drs, ps0, dps = unpack(x, params["u0"], n)
+    q, dq, ddq = rollout_joints(u, params["q0"], params["dq0"], params["ddq0"], cfg.dt)
+    p, v = rollout_cartesian(q, dq, params["p0"], params["v0"], cfg.dt)
+    rslacks, pslacks = slack_trajectories(rs0, drs, ps0, dps, cfg.dt)
+    return {
+        "u": u,
+        "q": q,
+        "dq": dq,
+        "ddq": ddq,
+        "p": p,
+        "v": v,
+        "dslacks": dslacks,
+        "rslacks": rslacks,
+        "drs": drs,
+        "pslacks": pslacks,
+        "dps": dps,
+    }
+
+
+def _per_step_ref_err(params, traj, k, n: int, nr_segs: int):
+    win = {
+        "p_ref": params["p_ref"],
+        "dp_ref": params["dp_ref"],
+        "dp_normed": params["dp_normed"],
+        "phi_switch": params["phi_switch"],
+        "bp1": params["bp1"],
+        "bp2": params["bp2"],
+        "br1": params["br1"],
+        "br2": params["br2"],
+        "e_r_bound": params["e_r_bound"],
+        "a_set": params["a_set"],
+        "b_set": params["b_set"],
+        "v1": params["v1"],
+        "v2": params["v2"],
+        "v3": params["v3"],
+    }
+    ref = ref_fns.reference_function(
+        win, params["split_idx"], k, traj["p"][k], traj["v"][k], n, nr_segs
+    )
+    err = ref_fns.error_function(
+        ref,
+        params,
+        params["split_idx"],
+        k,
+        traj["p"][k],
+        traj["v"][k],
+        params["p0"][3:],
+        n,
+        nr_segs,
+    )
+    return ref, err
+
+
+def cost_residuals(x, params, cfg: MPCParams):
+    """All objective terms as residuals r with cost = sum(r^2).
+
+    Mirrors `casadi_ocp_formulation.py:266-299` + `objective_function`
+    (`bound_mpc_functions.py:393-424`) exactly, with sqrt-weights folded in.
+    """
+    n, nr_segs = cfg.n, cfg.nr_segs
+    w = params["weights"]
+    traj = rollout(x, params, cfg)
+    dtype = x.dtype
+
+    def one_step(k):
+        ref, err = _per_step_ref_err(params, traj, k, n, nr_segs)
+        phi, dphi = ref["phi"], ref["dphi"]
+        sigm = 1.0 / (1.0 + jnp.exp(-60.0 * (phi - (params["phi_max"] - 0.05))))
+        v_orth = traj["v"][k] - dphi * ref["dp_d"]
+        one_norm = ref_fns.approx_one_norm(params["x_phi_d"][0] - phi)
+        r = jnp.concatenate(
+            [
+                sigm * err["e_r"],
+                sigm * err["e_p"],
+                jnp.sqrt(w[1]) * err["e_r_par"],
+                jnp.sqrt(w[2]) * v_orth[:3],
+                jnp.sqrt(w[3]) * v_orth[3:],
+                jnp.sqrt(w[6]) * traj["dq"][k][2:5],
+                jnp.sqrt(w[7]) * traj["u"][k],
+                jnp.sqrt(w[5]) * (params["x_phi_d"][1] - dphi)[None],
+                jnp.sqrt(w[4] * jnp.maximum(one_norm, 0.0) + 1e-14)[None],
+                jnp.sqrt(w[0]) * err["e_p"],
+                jnp.sqrt(w[1] / 50.0) * err["e_r_orth1"],
+                jnp.sqrt(w[1] / 50.0) * err["e_r_orth2"],
+                jnp.sqrt(w[9]) * traj["rslacks"][k][None],
+                jnp.sqrt(w[10]) * traj["drs"][k][None],
+                jnp.sqrt(w[9]) * traj["pslacks"][k][None],
+                jnp.sqrt(w[10]) * traj["dps"][k][None],
+            ]
+        )
+        return r
+
+    ks = jnp.arange(1, n)
+    r_steps = jax.vmap(one_step)(ks).reshape(-1)
+
+    slacks = params["slacks0"] + traj["dslacks"]
+    r_term = jnp.concatenate(
+        [
+            jnp.sqrt(w[8]) * slacks[jnp.array([0, 1, 2, 3, 5])],
+            jnp.sqrt(w[10]) * traj["dslacks"],
+            jnp.sqrt(jnp.asarray(100.0, dtype)) * traj["v"][n - 1],
+        ]
+    )
+    return jnp.concatenate([r_steps, r_term])
+
+
+def cost(x, params, cfg: MPCParams):
+    r = cost_residuals(x, params, cfg)
+    return jnp.sum(r * r)
+
+
+def constraints(x, params, cfg: MPCParams):
+    """All inequality rows g(x) <= 0 (ref `casadi_ocp_formulation.py:301-380`
+    plus the variable bounds the reference applies via lbx/ubx,
+    `BoundMPC.py:544-589`)."""
+    n, nr_segs = cfg.n, cfg.nr_segs
+    traj = rollout(x, params, cfg)
+    slacks = params["slacks0"] + traj["dslacks"]
+
+    def one_step(k):
+        ref, err = _per_step_ref_err(params, traj, k, n, nr_segs)
+        rows = []
+        # EE position inside the current convex set (15)
+        rows.append(ref["a_current"] @ traj["p"][k][:3] - ref["b_current"] - traj["pslacks"][k])
+        # orientation bands (3 upper + 3 lower)
+        proj1 = jnp.dot(ref["br1_current"], err["e_r_orth1"])
+        proj_par = jnp.dot(ref["dp_normed_d"], err["e_r_par"])
+        proj2 = jnp.dot(ref["br2_current"], err["e_r_orth2"])
+        projs = jnp.stack([proj1, proj_par, proj2])
+        rows.append(projs - ref["r_bound_upper"] - traj["rslacks"][k])
+        rows.append(ref["r_bound_lower"] - projs - traj["rslacks"][k])
+        # 6 link collision sets at q_k (ref `:323-331` uses q[k]) (90)
+        p_col = kin.fk_pos_col_all(traj["q"][k])[:NUM_LINK_SETS]
+        link_rows = (
+            jnp.einsum("lri,li->lr", params["a_set_joints"], p_col)
+            - params["b_set_joints"]
+            - slacks[:NUM_LINK_SETS, None]
+        )
+        rows.append(link_rows.reshape(-1))
+        # phi within current segment (1)
+        rows.append((ref["phi"] - (ref["phi_end_seg"] + 0.005))[None])
+        return jnp.concatenate(rows)
+
+    ks = jnp.arange(1, n)
+    g_steps = jax.vmap(one_step)(ks).reshape(-1)
+
+    # --- terminal constraints at k = N-1 (ref `:337-380`) ---
+    kf = n - 1
+    ref_f, err_f = _per_step_ref_err(params, traj, kf, n, nr_segs)
+    s_f = ref_fns.segment_index(kf, params["split_idx"], nr_segs)
+    p_end = params["p_ref"][s_f + 1][:3]
+    bnew = ref_f["b_next"] - ref_f["a_next"] @ p_end
+    anew = ref_f["a_next"] @ jnp.stack([ref_f["bp1_current"], ref_f["bp2_current"]], axis=1)
+    z = jnp.stack(
+        [jnp.dot(ref_f["bp1_current"], err_f["e_p"]), jnp.dot(ref_f["bp2_current"], err_f["e_p"])]
+    )
+    g_term_set = anew @ z - bnew - slacks[-1]
+
+    proj1n = jnp.dot(ref_f["br1_next"], err_f["e_r_orth1"])
+    proj_parn = jnp.dot(ref_f["dp_normed_n"], err_f["e_r_par"])
+    proj2n = jnp.dot(ref_f["br2_next"], err_f["e_r_orth2"])
+    projs_n = jnp.stack([proj1n, proj_parn, proj2n])
+    g_term_rot_u = projs_n - ref_f["r_bound_upper_next"] - slacks[-1]
+    g_term_rot_l = ref_f["r_bound_lower_next"] - projs_n - slacks[-1]
+
+    # --- state bounds for k=1..N-1 (lbx/ubx in the reference) ---
+    dtype = x.dtype
+    q_ub = jnp.asarray(Q_LIM_UPPER, dtype)
+    q_lb = jnp.asarray(Q_LIM_LOWER, dtype)
+    g_bounds = jnp.concatenate(
+        [
+            (traj["q"][1:] - q_ub).reshape(-1),
+            (q_lb - traj["q"][1:]).reshape(-1),
+            (traj["dq"][1:] - DQ_LIM).reshape(-1),
+            (-DQ_LIM - traj["dq"][1:]).reshape(-1),
+            (traj["ddq"][1:] - DDQ_LIM).reshape(-1),
+            (-DDQ_LIM - traj["ddq"][1:]).reshape(-1),
+            (traj["u"][1:] - U_MAX).reshape(-1),
+            (U_MIN - traj["u"][1:]).reshape(-1),
+        ]
+    )
+    # --- slack nonnegativity (lbx >= 0 on all slack variables) ---
+    g_slack = jnp.concatenate(
+        [
+            -traj["dslacks"],
+            -traj["rslacks"],
+            -traj["drs"],
+            -traj["pslacks"],
+            -traj["dps"],
+        ]
+    )
+
+    return jnp.concatenate([g_steps, g_term_set, g_term_rot_u, g_term_rot_l, g_bounds, g_slack])
+
+
+def n_constraints(cfg: MPCParams) -> int:
+    n = cfg.n
+    per_step = MPC_SET_ROWS + 6 + NUM_LINK_SETS * MPC_SET_ROWS + 1
+    return (
+        (n - 1) * per_step
+        + MPC_SET_ROWS
+        + 6
+        + (n - 1) * NJ * 6
+        + (n - 1) * NJ * 2
+        + (6 + 4 * n)
+    )

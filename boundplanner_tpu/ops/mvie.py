@@ -82,13 +82,23 @@ def _solve_barrier(theta0, objective, n_free, stages, newton_steps):
     return theta
 
 
-def _chebyshev_center(a_mat, b_vec):
-    """Deepest point of {Ax<=b} (rows assumed ~normalized): analytic-center
-    style initialization via the phase-1 QP."""
+def _chebyshev_center(a_mat, b_vec, radius: float = 10.0):
+    """Deepest point of {Ax<=b} (rows assumed ~normalized): phase-1 QP
+    initialization. A +-radius box is appended so the search stays bounded
+    even for degenerate/unbounded inputs (the planner's sets always carry
+    workspace rows, ref `ConvexSetFinder.py:377-398`, but per-tick link sets
+    may not)."""
     from .qp import solve_feasibility
 
-    x, t, _ = solve_feasibility(a_mat, b_vec)
-    return x, -t  # point, its margin
+    dtype = b_vec.dtype
+    box_a = jnp.concatenate([jnp.eye(3, dtype=dtype), -jnp.eye(3, dtype=dtype)])
+    box_b = jnp.full((6,), radius, dtype)
+    a_ext = jnp.concatenate([a_mat, box_a], axis=0)
+    b_ext = jnp.concatenate([b_vec, box_b])
+    x, t, _ = solve_feasibility(a_ext, b_ext)
+    # margin w.r.t. the true rows only
+    margin = jnp.min(b_vec - a_mat @ x)
+    return x, margin
 
 
 @functools.partial(jax.jit, static_argnames=("stages", "newton_steps"))

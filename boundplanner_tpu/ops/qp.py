@@ -108,13 +108,20 @@ def solve_qp(
         alpha = jnp.minimum(alpha_p, alpha_d)
 
         x_new = x + alpha * dx
-        s_new = s + alpha * ds
-        z_new = z + alpha * dz
+        s_new = jnp.maximum(s + alpha * ds, 1e-14)
+        z_new = jnp.maximum(z + alpha * dz, 1e-14)
 
-        keep = done | ~jnp.isfinite(alpha)
+        finite = (
+            jnp.all(jnp.isfinite(x_new))
+            & jnp.all(jnp.isfinite(s_new))
+            & jnp.all(jnp.isfinite(z_new))
+            & jnp.isfinite(alpha)
+        )
+        keep = done | ~finite
         x = jnp.where(keep, x, x_new)
         s = jnp.where(keep, s, s_new)
         z = jnp.where(keep, z, z_new)
+        done = done | ~finite
 
         conv = (
             (jnp.max(jnp.abs(r_p)) < tol)

@@ -31,14 +31,22 @@ def test_mvie_box():
     )
 
 
+def _bounded_instance(rng, m=10):
+    """Random half-spaces + a workspace box (real sets always carry one)."""
+    a = rng.normal(size=(m, 3))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    x_int = 0.1 * rng.normal(size=3)
+    b = a @ x_int + rng.uniform(0.2, 1.0, m)
+    a = np.vstack([a, np.eye(3), -np.eye(3)])
+    b = np.concatenate([b, 1.5 * np.ones(6)])
+    return a, b
+
+
 def test_mvie_containment():
     """The resulting ellipsoid must satisfy every half-space: ||L^T a|| + a^T d <= b."""
     rng = np.random.default_rng(3)
     for _ in range(5):
-        a = rng.normal(size=(10, 3))
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        x_int = 0.1 * rng.normal(size=3)
-        b = a @ x_int + rng.uniform(0.2, 1.0, 10)
+        a, b = _bounded_instance(rng)
         res = mvie(jnp.asarray(a), jnp.asarray(b))
         assert bool(res.ok)
         l_mat = np.asarray(res.gen)
@@ -79,9 +87,7 @@ def scipy_mvie_logdet(a, b):
 def test_mvie_vs_scipy():
     rng = np.random.default_rng(7)
     for _ in range(3):
-        a = rng.normal(size=(8, 3))
-        a /= np.linalg.norm(a, axis=1, keepdims=True)
-        b = a @ (0.1 * rng.normal(size=3)) + rng.uniform(0.3, 1.0, 8)
+        a, b = _bounded_instance(rng, m=8)
         res = mvie(jnp.asarray(a), jnp.asarray(b))
         s_ref, d_ref = scipy_mvie_logdet(a, b)
         # volumes (det of shape) should agree closely
