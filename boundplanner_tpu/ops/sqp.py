@@ -1,0 +1,112 @@
+"""Generic batched Gauss-Newton SQP over the dense QP-IPM.
+
+One nonlinear-programming engine for every NLP in the system — the role
+Ipopt plays in the reference (`casadi_ocp_formulation.py:418`,
+`optimization_functions.py:385`, `RobotModel.py:130`):
+
+- the condensed BoundMPC tracking OCP (``mpc.solver``)
+- the planner's via-point rotation NLP (``planner.via_opt``)
+
+Problem form:  min  |r(x)|^2   s.t.  g(x) <= 0
+with the objective supplied exactly as residuals, so B = 2 J_r^T J_r is
+the true curvature of the quadratic part. Fixed-trip iteration with masked
+convergence keeps vmapped batches in lockstep.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .qp import solve_qp
+
+
+class SQPResult(NamedTuple):
+    x: jax.Array
+    cost: jax.Array
+    viol: jax.Array
+    iters: jax.Array
+    success: jax.Array
+
+
+def gauss_newton_sqp(
+    residual_fn: Callable,
+    cons_fn: Callable,
+    x0: jax.Array,
+    iters: int = 12,
+    qp_iters: int = 25,
+    line_search_steps: int = 6,
+    merit_penalty: float = 1e3,
+    viol_tol: float = 1e-4,
+) -> SQPResult:
+    nu = jnp.asarray(merit_penalty, x0.dtype)
+    n_x = x0.shape[0]
+    eye = jnp.eye(n_x, dtype=x0.dtype)
+
+    res_jac = jax.jacfwd(residual_fn)
+    cons_jac = jax.jacfwd(cons_fn)
+    alphas = 2.0 ** -jnp.arange(line_search_steps, dtype=x0.dtype)
+
+    def merit(x):
+        r = residual_fn(x)
+        g = cons_fn(x)
+        return jnp.sum(r * r) + nu * jnp.sum(jnp.maximum(g, 0.0))
+
+    def body(it, carry):
+        x, lam, merit_prev, done, used = carry
+
+        r = residual_fn(x)
+        jr = res_jac(x)
+        g = cons_fn(x)
+        jg = cons_jac(x)
+
+        grad = 2.0 * jr.T @ r
+        hess = 2.0 * jr.T @ jr + lam * eye
+
+        qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10)
+        d = qp.x
+
+        cand = x[None, :] + alphas[:, None] * d[None, :]
+        merits = jax.vmap(merit)(cand)
+        merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
+        best = jnp.argmin(merits)
+        merit_new = merits[best]
+        improved = merit_new < merit_prev - 1e-12
+
+        x_new = jnp.where(improved, cand[best], x)
+        lam_new = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8), lam * 10.0)
+        merit_next = jnp.where(improved, merit_new, merit_prev)
+
+        step_norm = jnp.linalg.norm(alphas[best] * d)
+        conv = improved & (step_norm < 1e-7)
+
+        x = jnp.where(done, x, x_new)
+        lam = jnp.where(done, lam, lam_new)
+        merit_prev = jnp.where(done, merit_prev, merit_next)
+        used = used + jnp.where(done, 0, 1)
+        done = done | conv | (lam > 1e8)
+        return x, lam, merit_prev, done, used
+
+    m0 = merit(x0)
+    m0 = jnp.where(jnp.isfinite(m0), m0, jnp.inf)
+    carry = (
+        x0,
+        jnp.asarray(1e-4, x0.dtype),
+        m0,
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    x, lam, m_f, done, used = jax.lax.fori_loop(0, iters, body, carry)
+
+    r = residual_fn(x)
+    g = cons_fn(x)
+    viol = jnp.max(jnp.maximum(g, 0.0))
+    return SQPResult(
+        x=x,
+        cost=jnp.sum(r * r),
+        viol=viol,
+        iters=used,
+        success=viol < viol_tol,
+    )

@@ -145,7 +145,7 @@ def _halfspace_scan(
     return a_rows, b_rows, collision
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
+@functools.partial(jax.jit, static_argnames=("n_rows", "limit_space"))
 def find_set_line(
     p0,
     p1,
