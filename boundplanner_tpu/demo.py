@@ -23,7 +23,7 @@ def demo_scene(cfg: MPCParams, dtype=jnp.float32, goal_offset=(0.0, -0.3, 0.0)):
     from scipy.spatial.transform import Rotation as R
 
     q0 = DEMO_Q0.copy()
-    pose0 = np.asarray(kin.fk_pose(jnp.asarray(q0, jnp.float64)))
+    pose0 = np.array(kin.fk_pose(jnp.asarray(q0)), dtype=np.float64)
     p0 = pose0[:3]
     r0 = R.from_rotvec(pose0[3:]).as_matrix()
 
