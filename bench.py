@@ -22,6 +22,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the fused MPC tick is a large XLA program
+    # and remote TPU compiles are slow; cache across processes/rounds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from boundplanner_tpu.config import MPCParams
     from boundplanner_tpu.demo import demo_scene, stack_scenes
     from boundplanner_tpu.mpc.bound_mpc import mpc_tick

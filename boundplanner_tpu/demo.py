@@ -1,29 +1,50 @@
-"""Tiny self-contained demo scene builders (no solver calls) used by
-``__graft_entry__`` and ``bench.py``."""
+"""Tiny self-contained demo scene builders used by ``__graft_entry__`` and
+``bench.py``.
+
+Everything here is pure numpy: on TPU-over-tunnel backends each *eager*
+device op pays a compile round-trip, so scene construction must be
+transfer-only (numpy pytrees cross the jit boundary for free).
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from .config import MPCParams
-from .mpc.bound_mpc import init_carry
-from .path.reference_path import build_path
-from .planner.set_finder import build_obstacle_arrays
-from .robot import kinematics as kin
+from .mpc.bound_mpc import init_carry_np
+from .path.reference_path import build_path_np
+from .planner.set_finder import build_obstacle_arrays_np
 
 DEMO_Q0 = np.array([0.0, 0.0, 0.0, -np.pi / 2, 0.0, np.pi / 2, 0.0])
 
 
-def demo_scene(cfg: MPCParams, dtype=jnp.float32, goal_offset=(0.0, -0.3, 0.0)):
-    """A single tracking scene: straight-line path from the FK pose of the
-    demo configuration, one box obstacle off to the side."""
+def _fk_pose_np(q):
+    """Numpy FK for scene setup (the device path is `robot.kinematics`)."""
+    from scipy.spatial.transform import Rotation as R
+
+    from .robot.kinematics import _EE_R, _EE_XYZ, _JOINT_R, _JOINT_XYZ
+
+    r = np.eye(3)
+    p = np.zeros(3)
+    for i in range(7):
+        p = p + r @ _JOINT_XYZ[i]
+        c, s = np.cos(q[i]), np.sin(q[i])
+        rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        r = r @ _JOINT_R[i] @ rz
+    r_ee = r @ _EE_R
+    p_ee = p + r @ _EE_XYZ
+    return np.concatenate([p_ee, R.from_matrix(r_ee).as_rotvec()])
+
+
+def demo_scene(cfg: MPCParams, dtype=np.float32, goal_offset=(0.0, -0.3, 0.0)):
+    """A single tracking scene (numpy pytrees): straight-line path from the
+    FK pose of the demo configuration, one box obstacle off to the side."""
     from scipy.spatial.transform import Rotation as R
 
     q0 = DEMO_Q0.copy()
-    pose0 = np.array(kin.fk_pose(jnp.asarray(q0)), dtype=np.float64)
+    pose0 = _fk_pose_np(q0)
     p0 = pose0[:3]
     r0 = R.from_rotvec(pose0[3:]).as_matrix()
 
@@ -35,35 +56,28 @@ def demo_scene(cfg: MPCParams, dtype=jnp.float32, goal_offset=(0.0, -0.3, 0.0)):
     a_sets = [np.zeros((15, 3))]
     b_sets = [np.ones(15)]
 
-    path = build_path(
-        p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets, nr_segs=cfg.nr_segs
+    path = build_path_np(
+        p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets, nr_segs=cfg.nr_segs,
+        dtype=dtype,
     )
-    path = jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, path
-    )
-    carry = init_carry(path, jnp.asarray(pose0, dtype), cfg, dtype)
-
-    obstacles = [[0.7, -0.2, 0.0, 0.9, 0.0, 0.4]]
-    obs = build_obstacle_arrays(obstacles)
-    obs = jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, obs
-    )
+    carry = init_carry_np(path, pose0, cfg, dtype)
+    obs = build_obstacle_arrays_np([[0.7, -0.2, 0.0, 0.9, 0.0, 0.4]], dtype=dtype)
 
     meas = {
-        "q0": jnp.asarray(q0, dtype),
-        "dq0": jnp.zeros(7, dtype),
-        "ddq0": jnp.zeros(7, dtype),
-        "p0": jnp.asarray(pose0, dtype),
-        "v0": jnp.zeros(6, dtype),
-        "u0": jnp.zeros(7, dtype),
-        "qf": jnp.asarray(q0, dtype),
+        "q0": np.asarray(q0, dtype),
+        "dq0": np.zeros(7, dtype),
+        "ddq0": np.zeros(7, dtype),
+        "p0": np.asarray(pose0, dtype),
+        "v0": np.zeros(6, dtype),
+        "u0": np.zeros(7, dtype),
+        "qf": np.asarray(q0, dtype),
     }
     return carry, meas, obs, np.asarray(q0)
 
 
 def stack_scenes(carry, meas, obs, batch: int):
-    """Replicate a single scene into a batch (leading scenario axis)."""
-    tile = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)
+    """Replicate a single (numpy) scene into a batch (leading axis)."""
+    tile = lambda x: np.broadcast_to(np.asarray(x), (batch,) + np.shape(x)).copy()
     return (
         jax.tree.map(tile, carry),
         jax.tree.map(tile, meas),

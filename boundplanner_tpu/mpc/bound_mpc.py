@@ -66,32 +66,37 @@ class MPCCarry(NamedTuple):
     prev_pslacks: jax.Array  # (N,)
 
 
-def init_carry(path: PathState, p0, cfg: MPCParams, dtype=jnp.float64) -> MPCCarry:
-    """Fresh carry at plan start (ref `BoundMPC.__init__:87-198` state init)."""
+def init_carry(path: PathState, p0, cfg: MPCParams, dtype=np.float64) -> MPCCarry:
+    """Fresh carry at plan start (ref `BoundMPC.__init__:87-198` state init).
+
+    Built entirely in numpy (transfer-only; no eager device ops)."""
     n = cfg.n
     nx = ocp.n_vars(n)
-    split = jnp.asarray([0] + [n] * cfg.nr_segs, jnp.int32)
-    p0 = jnp.asarray(p0, dtype)
+    dtype = np.dtype(dtype)
+    p0 = np.asarray(p0, dtype)
     return MPCCarry(
         path=path,
-        split_idx=split,
-        switch=jnp.asarray(False),
-        pr_ref=p0[3:],
-        iw_ref=jnp.zeros(3, dtype),
-        phi_current=jnp.asarray(0.0, dtype),
-        dphi_current=jnp.asarray(0.0, dtype),
-        slacks0=jnp.zeros(6, dtype),
-        x_prev=jnp.zeros(nx, dtype),
-        has_prev=jnp.asarray(False),
-        error_count=jnp.asarray(0, jnp.int32),
-        prev_q=jnp.zeros((n, NJ), dtype),
-        prev_dq=jnp.zeros((n, NJ), dtype),
-        prev_ddq=jnp.zeros((n, NJ), dtype),
-        prev_u=jnp.zeros((n, NJ), dtype),
-        prev_p=jnp.tile(p0[None, :], (n, 1)),
-        prev_v=jnp.zeros((n, 6), dtype),
-        prev_pslacks=jnp.zeros(n, dtype),
+        split_idx=np.asarray([0] + [n] * cfg.nr_segs, np.int32),
+        switch=np.asarray(False),
+        pr_ref=p0[3:].copy(),
+        iw_ref=np.zeros(3, dtype),
+        phi_current=np.asarray(0.0, dtype),
+        dphi_current=np.asarray(0.0, dtype),
+        slacks0=np.zeros(6, dtype),
+        x_prev=np.zeros(nx, dtype),
+        has_prev=np.asarray(False),
+        error_count=np.asarray(0, np.int32),
+        prev_q=np.zeros((n, NJ), dtype),
+        prev_dq=np.zeros((n, NJ), dtype),
+        prev_ddq=np.zeros((n, NJ), dtype),
+        prev_u=np.zeros((n, NJ), dtype),
+        prev_p=np.tile(p0[None, :], (n, 1)),
+        prev_v=np.zeros((n, 6), dtype),
+        prev_pslacks=np.zeros(n, dtype),
     )
+
+
+init_carry_np = init_carry
 
 
 def _win_with_proj(win, carry, p0_rot):
@@ -493,6 +498,8 @@ class BoundMPC:
         out = jax.tree.map(np.asarray, out)
         t_solve = time.perf_counter() - t0
         self.error_count = int(self.carry.error_count)
+        self.last_cost = float(out["cost"])
+        self.last_viol = float(out["viol"])
 
         traj_data = {
             "q": out["q"][1:].T,

@@ -18,6 +18,7 @@ import numpy as np
 from ..config import MPCParams
 from ..robot import kinematics as kin
 from ..robot.model import RobotModel
+from ..telemetry import MPCTickRecord, TelemetryRecorder
 from ..utils.integration import integrate_jerk_step
 from .bound_mpc import BoundMPC
 
@@ -32,6 +33,7 @@ class MPCNode:
         self.fails = []
         self.t_mpc = 0.0
         self.t_overhead = 0.0
+        self.telemetry = TelemetryRecorder()
 
         self.q0 = np.asarray(q0, dtype=np.float64)
         self.p0, _, _ = self.robot_model.forward_kinematics(self.q0, self.q0)
@@ -109,6 +111,27 @@ class MPCNode:
         self.jerk = jerk_traj[:, 1]
         t_loop = time.time() - start
         self.t_overhead = t_loop - self.t_mpc
+        self.telemetry.record_tick(
+            MPCTickRecord(
+                t=self.t_current,
+                t_comp=self.t_mpc,
+                t_loop=t_loop,
+                t_overhead=self.t_overhead,
+                cost=float(getattr(self.mpc, "last_cost", 0.0)),
+                iterations=iters,
+                phi=float(self.mpc.phi_current[0]),
+                dphi=float(np.asarray(self.mpc.carry.dphi_current)),
+                phi_max=float(self.mpc.phi_max[0]),
+                sector=int(np.asarray(self.mpc.carry.path.sector)),
+                success=bool(ref_data.get("success", True)),
+                viol=float(getattr(self.mpc, "last_viol", 0.0)),
+                e_p=np.asarray(err_data["e_p"][1]),
+                e_r=np.asarray(err_data["e_r"][1]),
+                p_ref=np.asarray(ref_data["p"][1]),
+                p=self.p_lie.copy(),
+                q=self.q.copy(),
+            )
+        )
         if verbose:
             print(
                 f"(MPCNode) t={self.t_current:.1f}s phi="

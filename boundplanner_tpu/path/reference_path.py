@@ -187,30 +187,35 @@ def build_path(
     seg_pad[0] = 0.0
     seg_pad[1 : l_traj] = seg_len
 
+    # numpy leaves: construction stays transfer-only (no eager device ops —
+    # important on TPU-over-tunnel backends where each eager op compiles)
     state = PathState(
-        p=jnp.asarray(pad(p_list, (3,))),
-        r=jnp.asarray(pad(r_list, (3, 3))),
-        r_tau=jnp.asarray(pad(r_tau, (3,))),
-        iw=jnp.asarray(pad(iw, (3,))),
-        dp=jnp.asarray(pad(dp, (3,))),
-        dp_unit=jnp.asarray(pad([_unit(d) for d in dp], (3,))),
-        dr=jnp.asarray(pad(dr_scaled, (3,))),
-        dr_normed=jnp.asarray(pad(dr_normed, (3,))),
-        seg_len=jnp.asarray(seg_pad),
-        bp1=jnp.asarray(pad(bp1_l, (3,))),
-        bp2=jnp.asarray(pad(bp2_l, (3,))),
-        br1=jnp.asarray(pad(br1_l, (3,))),
-        br2=jnp.asarray(pad(br2_l, (3,))),
-        e_r_bound=jnp.asarray(pad(e_r_bound, (6,))),
-        a_set=jnp.asarray(pad(a_norm, (MPC_SET_ROWS, 3))),
-        b_set=jnp.asarray(pad(b_norm, (MPC_SET_ROWS,))),
-        sector=jnp.asarray(0, jnp.int32),
-        num_sectors=jnp.asarray(num_sectors, jnp.int32),
-        phi_max=jnp.asarray(phi_max, dtype),
-        phi_bias=jnp.asarray(phi_bias, dtype),
-        switched=jnp.asarray(True),
+        p=pad(p_list, (3,)),
+        r=pad(r_list, (3, 3)),
+        r_tau=pad(r_tau, (3,)),
+        iw=pad(iw, (3,)),
+        dp=pad(dp, (3,)),
+        dp_unit=pad([_unit(d) for d in dp], (3,)),
+        dr=pad(dr_scaled, (3,)),
+        dr_normed=pad(dr_normed, (3,)),
+        seg_len=seg_pad,
+        bp1=pad(bp1_l, (3,)),
+        bp2=pad(bp2_l, (3,)),
+        br1=pad(br1_l, (3,)),
+        br2=pad(br2_l, (3,)),
+        e_r_bound=pad(e_r_bound, (6,)),
+        a_set=pad(a_norm, (MPC_SET_ROWS, 3)),
+        b_set=pad(b_norm, (MPC_SET_ROWS,)),
+        sector=np.asarray(0, np.int32),
+        num_sectors=np.asarray(num_sectors, np.int32),
+        phi_max=np.asarray(phi_max, dtype),
+        phi_bias=np.asarray(phi_bias, dtype),
+        switched=np.asarray(True),
     )
     return state
+
+
+build_path_np = build_path
 
 
 def path_window(state: PathState, nr_segs: int):

@@ -70,10 +70,13 @@ def build_obstacle_arrays(
         b_arr[i, :6] = b + size_increase
         pts[i] = box_vertices(lb - size_increase, ub + size_increase)
         mask[i] = True
-    return ObstacleArrays(
-        a=jnp.asarray(a_arr), b=jnp.asarray(b_arr), points=jnp.asarray(pts),
-        mask=jnp.asarray(mask),
-    )
+    # numpy leaves (transfer-only construction)
+    return ObstacleArrays(a=a_arr, b=b_arr, points=pts, mask=mask)
+
+
+def build_obstacle_arrays_np(obstacles, size_increase: float = 0.0,
+                             max_obs: int = MAX_OBS, dtype=np.float64):
+    return build_obstacle_arrays(obstacles, size_increase, max_obs, dtype)
 
 
 def _init_rows_point(p, e_max, dtype):
