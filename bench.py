@@ -34,7 +34,8 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-    cfg = MPCParams(sqp_iters=8, qp_iters=15, line_search_steps=4)
+    from boundplanner_tpu.config import perf_mpc_params
+    cfg = perf_mpc_params()
     carry, meas, obs, _ = demo_scene(cfg, dtype=jnp.float32)
     carry_b, meas_b, obs_b = stack_scenes(carry, meas, obs, batch)
 

@@ -76,6 +76,12 @@ def default_mpc_params() -> MPCParams:
     return MPCParams()
 
 
+def perf_mpc_params() -> MPCParams:
+    """The standard throughput configuration used by bench.py and the graft
+    entry — kept identical so the persistent XLA compile cache is shared."""
+    return MPCParams(sqp_iters=6, qp_iters=12, line_search_steps=4)
+
+
 @dataclasses.dataclass(frozen=True)
 class PlannerParams:
     """Static planner configuration (reference `BoundPlanner.py:27-58`)."""

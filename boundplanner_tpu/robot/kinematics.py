@@ -89,6 +89,60 @@ _JOINT_R = np.stack([_rpy_to_matrix(r) for r in _JOINT_RPY])  # (7, 3, 3)
 _EE_R = _rpy_to_matrix(_EE_RPY)
 
 
+class RobotChain:
+    """Static chain description (numpy constants baked at trace time).
+
+    Default is the iiwa14; ``gen3_chain()`` builds the Kinova Gen3 from
+    `bound_planner/RobotModel/gen3_arm.urdf:27-137` (same structure: 7
+    revolute z joints, fixed EE / collision frames)."""
+
+    def __init__(self, joint_xyz, joint_rpy, ee_xyz, ee_rpy,
+                 link4_col_xyz, ee_col_xyz, name="iiwa14"):
+        self.name = name
+        self.joint_xyz = np.asarray(joint_xyz, dtype=np.float64)
+        self.joint_r = np.stack([_rpy_to_matrix(np.asarray(r)) for r in joint_rpy])
+        self.ee_xyz = np.asarray(ee_xyz, dtype=np.float64)
+        self.ee_r = _rpy_to_matrix(np.asarray(ee_rpy, dtype=np.float64))
+        self.link4_col_xyz = np.asarray(link4_col_xyz, dtype=np.float64)
+        self.ee_col_xyz = np.asarray(ee_col_xyz, dtype=np.float64)
+
+
+IIWA14_CHAIN = RobotChain(
+    _JOINT_XYZ, _JOINT_RPY, _EE_XYZ, _EE_RPY, _LINK4_COL_XYZ, _EE_COL_XYZ,
+    name="iiwa14",
+)
+
+
+def gen3_chain() -> RobotChain:
+    """Kinova Gen3 chain (`gen3_arm.urdf:27-137`; selected in the reference
+    via USE_IIWA=False, `RobotModel.py:10,18-21`)."""
+    return RobotChain(
+        joint_xyz=[
+            [0.0, 0.0, 0.15643],
+            [0.0, 0.005375, -0.12838],
+            [0.0, -0.21038, -0.006375],
+            [0.0, 0.006375, -0.21038],
+            [0.0, -0.20843, -0.006375],
+            [0.0, 0.00017505, -0.10593],
+            [0.0, -0.10593, -0.00017505],
+        ],
+        joint_rpy=[
+            [np.pi, 0.0, 0.0],
+            [np.pi / 2, 0.0, 0.0],
+            [-np.pi / 2, 0.0, 0.0],
+            [np.pi / 2, 0.0, 0.0],
+            [-np.pi / 2, 0.0, 0.0],
+            [np.pi / 2, 0.0, 0.0],
+            [-np.pi / 2, 0.0, 0.0],
+        ],
+        ee_xyz=[0.0, 0.0, -0.20],
+        ee_rpy=[0.0, 1.570796326794895, 1.570796326794895],
+        link4_col_xyz=[0.0, -0.1, 0.0],
+        ee_col_xyz=[0.0, 0.0, -0.13],
+        name="gen3",
+    )
+
+
 def _rotz(q):
     c, s = jnp.cos(q), jnp.sin(q)
     one = jnp.ones_like(c)
@@ -102,7 +156,7 @@ def _rotz(q):
     )
 
 
-def fk_frames(q):
+def fk_frames(q, chain: "RobotChain" = None):
     """World placements of all 7 joint frames + EE + collision frames.
 
     Returns a dict with:
@@ -111,10 +165,14 @@ def fk_frames(q):
       ``r_ee`` (3,3), ``p_ee`` (3,)  end_effector_link frame
       ``p_col`` (7,3) collision points: joints 3..7, link4_col, ee_col
         (ordering of ref `RobotModel.py:27-35`)
+
+    ``chain`` selects the robot (default iiwa14; see ``gen3_chain``).
     """
+    if chain is None:
+        chain = IIWA14_CHAIN
     dtype = jnp.asarray(q).dtype
-    joint_r = jnp.asarray(_JOINT_R, dtype=dtype)
-    joint_xyz = jnp.asarray(_JOINT_XYZ, dtype=dtype)
+    joint_r = jnp.asarray(chain.joint_r, dtype=dtype)
+    joint_xyz = jnp.asarray(chain.joint_xyz, dtype=dtype)
 
     rs = []
     ps = []
@@ -128,11 +186,11 @@ def fk_frames(q):
     r = jnp.stack(rs)
     p = jnp.stack(ps)
 
-    r_ee = r[6] @ jnp.asarray(_EE_R, dtype=dtype)
-    p_ee = p[6] + r[6] @ jnp.asarray(_EE_XYZ, dtype=dtype)
+    r_ee = r[6] @ jnp.asarray(chain.ee_r, dtype=dtype)
+    p_ee = p[6] + r[6] @ jnp.asarray(chain.ee_xyz, dtype=dtype)
 
-    p_link4_col = p[3] + r[3] @ jnp.asarray(_LINK4_COL_XYZ, dtype=dtype)
-    p_ee_col = p[6] + r[6] @ jnp.asarray(_EE_COL_XYZ, dtype=dtype)
+    p_link4_col = p[3] + r[3] @ jnp.asarray(chain.link4_col_xyz, dtype=dtype)
+    p_ee_col = p[6] + r[6] @ jnp.asarray(chain.ee_col_xyz, dtype=dtype)
     p_col = jnp.concatenate(
         [p[2:7], p_link4_col[None], p_ee_col[None]], axis=0
     )  # (7, 3)
@@ -140,30 +198,30 @@ def fk_frames(q):
     return {"r": r, "p": p, "r_ee": r_ee, "p_ee": p_ee, "p_col": p_col}
 
 
-def fk_ee_htm(q):
+def fk_ee_htm(q, chain=None):
     """4x4 homogeneous transform of the end effector
     (ref `RobotModel.py:197-211` hom_transform_endeffector)."""
-    f = fk_frames(q)
+    f = fk_frames(q, chain)
     h = jnp.eye(4, dtype=f["r_ee"].dtype)
     h = h.at[:3, :3].set(f["r_ee"])
     h = h.at[:3, 3].set(f["p_ee"])
     return h
 
 
-def fk_pos(q):
+def fk_pos(q, chain=None):
     """End-effector position (ref `RobotModel.py:146-160`)."""
-    return fk_frames(q)["p_ee"]
+    return fk_frames(q, chain)["p_ee"]
 
 
-def fk_pose(q):
+def fk_pose(q, chain=None):
     """6-vector [position; rotation-vector] of the EE (ref `RobotModel.py:183-195`)."""
-    f = fk_frames(q)
+    f = fk_frames(q, chain)
     return jnp.concatenate([f["p_ee"], matrix_to_rotvec(f["r_ee"])])
 
 
-def fk_pos_col_all(q):
+def fk_pos_col_all(q, chain=None):
     """All 7 collision-frame positions, (7,3) (ref `RobotModel.py:162-181`)."""
-    return fk_frames(q)["p_col"]
+    return fk_frames(q, chain)["p_col"]
 
 
 def fk_pos_col(q, i: int):
@@ -171,11 +229,11 @@ def fk_pos_col(q, i: int):
     return fk_frames(q)["p_col"][i]
 
 
-def jacobian_fk(q):
+def jacobian_fk(q, chain=None):
     """6x7 frame Jacobian of the EE in LOCAL_WORLD_ALIGNED convention
     (ref `RobotModel.py:213-231`): rows [linear; angular], column i =
     [z_i x (p_ee - p_i); z_i] with world-frame joint axes z_i."""
-    f = fk_frames(q)
+    f = fk_frames(q, chain)
     z = f["r"][:, :, 2]  # (7, 3) world joint axes
     dp = f["p_ee"][None, :] - f["p"]  # (7, 3)
     jv = jnp.cross(z, dp)  # (7, 3)

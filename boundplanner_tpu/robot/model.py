@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import kinematics as kin
+from .kinematics import gen3_chain  # noqa: F401  (re-export)
 
 Q_LIM_UPPER = np.array(
     [
@@ -41,6 +42,12 @@ U_MIN = -35.0
 DDQ_LIM = 5.0  # acceleration bound used by the OCP (ref `BoundMPC.py:182`)
 
 COL_JOINT_SIZES = np.array([0.09, 0.12, 0.09, 0.10, 0.07, 0.09, 0.075])
+
+# Kinova Gen3 limits (`gen3_arm.urdf:32,46,60,74,88,109,123`; continuous
+# joints 1/3/5/7 get +-inf like the reference, `RobotModel.py:46-48`)
+GEN3_Q_LIM_UPPER = np.array([np.inf, 2.24, np.inf, 2.57, np.inf, 2.09, np.inf])
+GEN3_DQ_LIM = np.array([1.3963, 1.3963, 1.3963, 1.3963, 1.2218, 1.2218, 1.2218])
+GEN3_COL_JOINT_SIZES = np.array([0.09, 0.09, 0.06, 0.06, 0.06, 0.06, 0.075])
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -72,18 +79,31 @@ def _ik_gauss_newton(pd, rd, q0, iters: int = 60):
 
 
 class RobotModel:
-    """Host-side facade over the pure-JAX kinematics functions."""
+    """Host-side facade over the pure-JAX kinematics functions.
 
-    def __init__(self):
-        self.q_lim_upper = Q_LIM_UPPER.copy()
-        self.q_lim_lower = Q_LIM_LOWER.copy()
-        self.dq_lim_upper = DQ_LIM.copy()
-        self.dq_lim_lower = -DQ_LIM.copy()
+    ``robot="iiwa14"`` (default) or ``"gen3"`` — the reference's USE_IIWA
+    switch (`RobotModel.py:10,18-21,36-39,46-48`)."""
+
+    def __init__(self, robot: str = "iiwa14"):
+        self.robot = robot
+        if robot == "gen3":
+            self.chain = kin.gen3_chain()
+            self.q_lim_upper = GEN3_Q_LIM_UPPER.copy()
+            self.q_lim_lower = -GEN3_Q_LIM_UPPER.copy()
+            self.dq_lim_upper = GEN3_DQ_LIM.copy()
+            self.dq_lim_lower = -GEN3_DQ_LIM.copy()
+            self.col_joint_sizes = GEN3_COL_JOINT_SIZES.copy()
+        else:
+            self.chain = None  # iiwa14 static default
+            self.q_lim_upper = Q_LIM_UPPER.copy()
+            self.q_lim_lower = Q_LIM_LOWER.copy()
+            self.dq_lim_upper = DQ_LIM.copy()
+            self.dq_lim_lower = -DQ_LIM.copy()
+            self.col_joint_sizes = COL_JOINT_SIZES.copy()
         self.tau_lim_upper = TAU_LIM_UPPER.copy()
         self.tau_lim_lower = TAU_LIM_LOWER.copy()
         self.u_max = U_MAX
         self.u_min = U_MIN
-        self.col_joint_sizes = COL_JOINT_SIZES.copy()
 
     def get_robot_limits(self):
         return (
@@ -100,23 +120,26 @@ class RobotModel:
     # --- kinematics pass-throughs (numpy in / numpy out) ---
 
     def forward_kinematics(self, q, dq):
-        p, jac, djac = kin.forward_kinematics(jnp.asarray(q), jnp.asarray(dq))
+        q, dq = jnp.asarray(q), jnp.asarray(dq)
+        p = kin.fk_pose(q, self.chain)
+        jac = kin.jacobian_fk(q, self.chain)
+        djac = jax.jvp(lambda qq: kin.jacobian_fk(qq, self.chain), (q,), (dq,))[1]
         return np.asarray(p), np.asarray(jac), np.asarray(djac)
 
     def fk(self, q):
-        return np.asarray(kin.fk_pose(jnp.asarray(q)))
+        return np.asarray(kin.fk_pose(jnp.asarray(q), self.chain))
 
     def fk_pos(self, q):
-        return np.asarray(kin.fk_pos(jnp.asarray(q)))
+        return np.asarray(kin.fk_pos(jnp.asarray(q), self.chain))
 
     def fk_pos_col(self, q, i):
-        return np.asarray(kin.fk_pos_col_all(jnp.asarray(q)))[i]
+        return np.asarray(kin.fk_pos_col_all(jnp.asarray(q), self.chain))[i]
 
     def hom_transform_endeffector(self, q):
-        return np.asarray(kin.fk_ee_htm(jnp.asarray(q)))
+        return np.asarray(kin.fk_ee_htm(jnp.asarray(q), self.chain))
 
     def jacobian_fk(self, q):
-        return np.asarray(kin.jacobian_fk(jnp.asarray(q)))
+        return np.asarray(kin.jacobian_fk(jnp.asarray(q), self.chain))
 
     def djacobian_fk(self, q, dq):
         return np.asarray(kin.djacobian_fk(jnp.asarray(q), jnp.asarray(dq)))

