@@ -168,16 +168,24 @@ def _per_step_ref_err(params, traj, k, n: int, nr_segs: int):
     return ref, err
 
 
-def cost_residuals(x, params, cfg: MPCParams):
-    """All objective terms as residuals r with cost = sum(r^2).
+def evaluate(x, params, cfg: MPCParams):
+    """Joint evaluation of objective residuals and inequality constraints.
 
-    Mirrors `casadi_ocp_formulation.py:266-299` + `objective_function`
-    (`bound_mpc_functions.py:393-424`) exactly, with sqrt-weights folded in.
+    One rollout + one per-step reference/error sweep feeds both outputs —
+    the graph is built once (matters doubly here: runtime, and remote-TPU
+    compile time scales superlinearly with program size).
+
+    Residuals: cost = sum(r^2), mirroring `casadi_ocp_formulation.py:266-299`
+    + `objective_function` (`bound_mpc_functions.py:393-424`) with
+    sqrt-weights folded in. Constraints: all g(x) <= 0 rows of
+    `casadi_ocp_formulation.py:301-380` plus the lbx/ubx variable bounds
+    (`BoundMPC.py:544-589`).
     """
     n, nr_segs = cfg.n, cfg.nr_segs
     w = params["weights"]
     traj = rollout(x, params, cfg)
     dtype = x.dtype
+    slacks = params["slacks0"] + traj["dslacks"]
 
     def one_step(k):
         ref, err = _per_step_ref_err(params, traj, k, n, nr_segs)
@@ -205,37 +213,7 @@ def cost_residuals(x, params, cfg: MPCParams):
                 jnp.sqrt(w[10]) * traj["dps"][k][None],
             ]
         )
-        return r
 
-    ks = jnp.arange(1, n)
-    r_steps = jax.vmap(one_step)(ks).reshape(-1)
-
-    slacks = params["slacks0"] + traj["dslacks"]
-    r_term = jnp.concatenate(
-        [
-            jnp.sqrt(w[8]) * slacks[jnp.array([0, 1, 2, 3, 5])],
-            jnp.sqrt(w[10]) * traj["dslacks"],
-            jnp.sqrt(jnp.asarray(100.0, dtype)) * traj["v"][n - 1],
-        ]
-    )
-    return jnp.concatenate([r_steps, r_term])
-
-
-def cost(x, params, cfg: MPCParams):
-    r = cost_residuals(x, params, cfg)
-    return jnp.sum(r * r)
-
-
-def constraints(x, params, cfg: MPCParams):
-    """All inequality rows g(x) <= 0 (ref `casadi_ocp_formulation.py:301-380`
-    plus the variable bounds the reference applies via lbx/ubx,
-    `BoundMPC.py:544-589`)."""
-    n, nr_segs = cfg.n, cfg.nr_segs
-    traj = rollout(x, params, cfg)
-    slacks = params["slacks0"] + traj["dslacks"]
-
-    def one_step(k):
-        ref, err = _per_step_ref_err(params, traj, k, n, nr_segs)
         rows = []
         # EE position inside the current convex set (15)
         rows.append(ref["a_current"] @ traj["p"][k][:3] - ref["b_current"] - traj["pslacks"][k])
@@ -256,10 +234,21 @@ def constraints(x, params, cfg: MPCParams):
         rows.append(link_rows.reshape(-1))
         # phi within current segment (1)
         rows.append((ref["phi"] - (ref["phi_end_seg"] + 0.005))[None])
-        return jnp.concatenate(rows)
+        return r, jnp.concatenate(rows)
 
     ks = jnp.arange(1, n)
-    g_steps = jax.vmap(one_step)(ks).reshape(-1)
+    r_steps, g_steps = jax.vmap(one_step)(ks)
+    r_steps = r_steps.reshape(-1)
+    g_steps = g_steps.reshape(-1)
+
+    r_term = jnp.concatenate(
+        [
+            jnp.sqrt(w[8]) * slacks[jnp.array([0, 1, 2, 3, 5])],
+            jnp.sqrt(w[10]) * traj["dslacks"],
+            jnp.sqrt(jnp.asarray(100.0, dtype)) * traj["v"][n - 1],
+        ]
+    )
+    residuals = jnp.concatenate([r_steps, r_term])
 
     # --- terminal constraints at k = N-1 (ref `:337-380`) ---
     kf = n - 1
@@ -307,7 +296,23 @@ def constraints(x, params, cfg: MPCParams):
         ]
     )
 
-    return jnp.concatenate([g_steps, g_term_set, g_term_rot_u, g_term_rot_l, g_bounds, g_slack])
+    constraints_all = jnp.concatenate(
+        [g_steps, g_term_set, g_term_rot_u, g_term_rot_l, g_bounds, g_slack]
+    )
+    return residuals, constraints_all
+
+
+def cost_residuals(x, params, cfg: MPCParams):
+    return evaluate(x, params, cfg)[0]
+
+
+def cost(x, params, cfg: MPCParams):
+    r = cost_residuals(x, params, cfg)
+    return jnp.sum(r * r)
+
+
+def constraints(x, params, cfg: MPCParams):
+    return evaluate(x, params, cfg)[1]
 
 
 def n_constraints(cfg: MPCParams) -> int:

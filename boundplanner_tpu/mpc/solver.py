@@ -22,8 +22,7 @@ from . import ocp
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
     return gauss_newton_sqp(
-        residual_fn=lambda x: ocp.cost_residuals(x, params, cfg),
-        cons_fn=lambda x: ocp.constraints(x, params, cfg),
+        eval_fn=lambda x: ocp.evaluate(x, params, cfg),
         x0=x0,
         iters=cfg.sqp_iters,
         qp_iters=cfg.qp_iters,

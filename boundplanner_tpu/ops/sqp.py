@@ -7,10 +7,11 @@ Ipopt plays in the reference (`casadi_ocp_formulation.py:418`,
 - the condensed BoundMPC tracking OCP (``mpc.solver``)
 - the planner's via-point rotation NLP (``planner.via_opt``)
 
-Problem form:  min  |r(x)|^2   s.t.  g(x) <= 0
-with the objective supplied exactly as residuals, so B = 2 J_r^T J_r is
-the true curvature of the quadratic part. Fixed-trip iteration with masked
-convergence keeps vmapped batches in lockstep.
+Problem form:  min  |r(x)|^2   s.t.  g(x) <= 0, supplied as ONE joint
+``eval_fn(x) -> (r, g)`` so the (usually shared) underlying model — e.g.
+the trajectory rollout — is built and differentiated once. B = 2 J_r^T J_r
+is the true curvature of the quadratic objective. Fixed-trip iteration
+with masked convergence keeps vmapped batches in lockstep.
 """
 
 from __future__ import annotations
@@ -32,8 +33,7 @@ class SQPResult(NamedTuple):
 
 
 def gauss_newton_sqp(
-    residual_fn: Callable,
-    cons_fn: Callable,
+    eval_fn: Callable,
     x0: jax.Array,
     iters: int = 12,
     qp_iters: int = 25,
@@ -45,22 +45,17 @@ def gauss_newton_sqp(
     n_x = x0.shape[0]
     eye = jnp.eye(n_x, dtype=x0.dtype)
 
-    res_jac = jax.jacfwd(residual_fn)
-    cons_jac = jax.jacfwd(cons_fn)
+    jac_fn = jax.jacfwd(eval_fn)
     alphas = 2.0 ** -jnp.arange(line_search_steps, dtype=x0.dtype)
 
-    def merit(x):
-        r = residual_fn(x)
-        g = cons_fn(x)
+    def merit_of(r, g):
         return jnp.sum(r * r) + nu * jnp.sum(jnp.maximum(g, 0.0))
 
     def body(it, carry):
         x, lam, merit_prev, done, used = carry
 
-        r = residual_fn(x)
-        jr = res_jac(x)
-        g = cons_fn(x)
-        jg = cons_jac(x)
+        r, g = eval_fn(x)
+        jr, jg = jac_fn(x)
 
         grad = 2.0 * jr.T @ r
         hess = 2.0 * jr.T @ jr + lam * eye
@@ -69,7 +64,8 @@ def gauss_newton_sqp(
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]
-        merits = jax.vmap(merit)(cand)
+        r_c, g_c = jax.vmap(eval_fn)(cand)
+        merits = jax.vmap(merit_of)(r_c, g_c)
         merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
         best = jnp.argmin(merits)
         merit_new = merits[best]
@@ -89,7 +85,8 @@ def gauss_newton_sqp(
         done = done | conv | (lam > 1e8)
         return x, lam, merit_prev, done, used
 
-    m0 = merit(x0)
+    r0, g0 = eval_fn(x0)
+    m0 = merit_of(r0, g0)
     m0 = jnp.where(jnp.isfinite(m0), m0, jnp.inf)
     carry = (
         x0,
@@ -100,8 +97,7 @@ def gauss_newton_sqp(
     )
     x, lam, m_f, done, used = jax.lax.fori_loop(0, iters, body, carry)
 
-    r = residual_fn(x)
-    g = cons_fn(x)
+    r, g = eval_fn(x)
     viol = jnp.max(jnp.maximum(g, 0.0))
     return SQPResult(
         x=x,

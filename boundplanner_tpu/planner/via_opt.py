@@ -97,8 +97,8 @@ def solve_via_rot(
         return jnp.concatenate(rows)
 
     return gauss_newton_sqp(
-        residuals, cons, x0, iters=25, qp_iters=30, line_search_steps=8,
-        merit_penalty=1e3, viol_tol=1e-5,
+        lambda x: (residuals(x), cons(x)), x0, iters=25, qp_iters=30,
+        line_search_steps=8, merit_penalty=1e3, viol_tol=1e-5,
     )
 
 
