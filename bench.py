@@ -1,11 +1,14 @@
 """Headline benchmark: BoundMPC solves/s/chip.
 
-Measures the throughput of the fused MPC tick (condensed Gauss-Newton SQP
-solve + per-tick link collision sets + switching logic) batched over
-scenarios on one chip. Baseline: the reference runs ONE Ipopt solve per
-0.1 s real-time budget per CPU (`utils/util_functions.py:49`,
-`MPCNode.py:160`), i.e. 10 solves/s; ``vs_baseline`` is the speedup over
-that.
+Measures sustained throughput of the full closed-loop pipeline — fused MPC
+tick (condensed Gauss-Newton SQP + per-tick link collision sets + switching
+logic) plus plant integration — as ONE compiled scan of T dependent control
+periods over a batch of scenes. A single dispatch with an in-program
+dependency chain makes the timing immune to async-dispatch artifacts.
+
+Baseline: the reference runs ONE Ipopt solve per 0.1 s real-time budget per
+CPU (`utils/util_functions.py:49`, `MPCNode.py:160`), i.e. 10 solves/s;
+``vs_baseline`` is the speedup over that.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -27,34 +30,38 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from boundplanner_tpu.config import MPCParams
+    from boundplanner_tpu.config import perf_mpc_params
     from boundplanner_tpu.demo import demo_scene, stack_scenes
-    from boundplanner_tpu.mpc.bound_mpc import mpc_tick
+    from boundplanner_tpu.parallel.batch import closed_loop_rollout
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    ticks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
-    from boundplanner_tpu.config import perf_mpc_params
     cfg = perf_mpc_params()
-    carry, meas, obs, _ = demo_scene(cfg, dtype=jnp.float32)
-    carry_b, meas_b, obs_b = stack_scenes(carry, meas, obs, batch)
+    carry, meas, obs, q0 = demo_scene(cfg, dtype=np.float32)
+    cb, mb, ob = stack_scenes(carry, meas, obs, batch)
+    q0b = np.broadcast_to(np.asarray(q0, np.float32), (batch, 7)).copy()
 
-    @jax.jit
-    def step(carry, meas, obs):
-        return jax.vmap(lambda c, m, o: mpc_tick(c, m, o, cfg))(carry, meas, obs)
+    cb = jax.device_put(cb)
+    ob = jax.device_put(ob)
+    q0b = jax.device_put(jnp.asarray(q0b))
 
-    # compile + warm up
-    new_carry, out = step(carry_b, meas_b, obs_b)
-    jax.block_until_ready(out["phi"])
+    roll = jax.jit(
+        lambda c, q, o: jax.vmap(
+            lambda cc, qq, oo: closed_loop_rollout(cc, qq, oo, cfg, ticks)
+        )(c, q, o)
+    )
+
+    # compile + warm up (forces a real sync via scalar fetch)
+    final, recs = roll(cb, q0b, ob)
+    _ = float(recs["phi"][0, -1])
 
     t0 = time.perf_counter()
-    c = carry_b
-    for _ in range(reps):
-        c, out = step(c, meas_b, obs_b)
-    jax.block_until_ready(out["phi"])
-    dt = time.perf_counter() - t0
+    final, recs = roll(cb, q0b, ob)
+    _ = float(recs["phi"][0, -1])
+    wall = time.perf_counter() - t0
 
-    solves_per_s = batch * reps / dt
+    solves_per_s = batch * ticks / wall
     print(
         json.dumps(
             {
