@@ -1,0 +1,71 @@
+"""Batch-friendly dense linear algebra for TPU.
+
+XLA lowers ``cho_factor``/``cho_solve`` to LAPACK-style custom-calls that
+serialize badly for *batched small* matrices on TPU — profiling the fused
+MPC tick showed ~72% of runtime inside those custom-calls. These
+replacements express the factorization as a fixed-trip column loop of
+masked vector/outer-product updates: under ``vmap`` every step becomes a
+(batch, n)/(batch, n, n) fused element-wise op on the VPU, which is the
+layout TPUs like. Numerically standard right-looking Cholesky.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cholesky_masked(a):
+    """Lower-triangular Cholesky factor of SPD ``a`` (n, n), column-loop
+    form. vmap-friendly; no custom-calls."""
+    n = a.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, aa):
+        d = jnp.sqrt(jnp.maximum(aa[j, j], 1e-30))
+        col_below = jnp.where(idx > j, aa[:, j] / d, 0.0)
+        aa = aa - jnp.outer(col_below, col_below)
+        new_col = col_below.at[j].set(d)
+        aa = aa.at[:, j].set(jnp.where(idx >= j, new_col, aa[:, j]))
+        return aa
+
+    l = jax.lax.fori_loop(0, n, body, a)
+    return jnp.tril(l)
+
+
+def solve_lower(l, b):
+    """Solve L y = b with L lower-triangular, forward substitution as a
+    fixed-trip loop of masked dot products."""
+    n = b.shape[0]
+    idx = jnp.arange(n)
+
+    def body(j, y):
+        mask = (idx < j).astype(b.dtype)
+        s = jnp.dot(l[j] * mask, y)
+        return y.at[j].set((b[j] - s) / l[j, j])
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def solve_upper_t(l, b):
+    """Solve L^T x = b (back substitution over the lower factor)."""
+    n = b.shape[0]
+    idx = jnp.arange(n)
+
+    def body(k, x):
+        j = n - 1 - k
+        mask = (idx > j).astype(b.dtype)
+        s = jnp.dot(l[:, j] * mask, x)
+        return x.at[j].set((b[j] - s) / l[j, j])
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
+
+
+def chol_solve(l, b):
+    """Solve (L L^T) x = b given the factor."""
+    return solve_upper_t(l, solve_lower(l, b))
+
+
+def spd_solve(a, b):
+    """Solve SPD system a x = b via the masked Cholesky."""
+    return chol_solve(cholesky_masked(a), b)

@@ -33,7 +33,8 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
+
+from .linalg import cholesky_masked, chol_solve
 
 
 class QPSolution(NamedTuple):
@@ -83,11 +84,14 @@ def solve_qp(
 
         w = z / s                                        # (m,)
         kkt = p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
-        chol = cho_factor(kkt)
+        # masked column-loop Cholesky: batches as fused VPU ops under vmap
+        # (XLA's cho_factor custom-call serializes for small batched
+        # matrices on TPU — it dominated the fused-tick profile)
+        chol = cholesky_masked(kkt)
 
         def solve_dx(r_c):
             rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)
-            dx = cho_solve(chol, rhs)
+            dx = chol_solve(chol, rhs)
             ds = -r_p - g_mat @ dx
             dz = -(r_c + z * ds) / s
             return dx, ds, dz

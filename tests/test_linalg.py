@@ -1,0 +1,38 @@
+"""Masked-loop Cholesky vs numpy/scipy reference."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from boundplanner_tpu.ops.linalg import cholesky_masked, chol_solve, spd_solve
+
+
+def random_spd(rng, n):
+    a = rng.normal(size=(n, n))
+    return a @ a.T + n * np.eye(n)
+
+
+def test_cholesky_matches_numpy(rng):
+    for n in (4, 17, 136):
+        a = random_spd(rng, n)
+        l = np.asarray(cholesky_masked(jnp.asarray(a)))
+        l_ref = np.linalg.cholesky(a)
+        np.testing.assert_allclose(l, l_ref, atol=1e-8 * n)
+
+
+def test_solve(rng):
+    for n in (4, 50):
+        a = random_spd(rng, n)
+        b = rng.normal(size=n)
+        x = np.asarray(spd_solve(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(a @ x, b, atol=1e-8)
+
+
+def test_vmap(rng):
+    n, bsz = 24, 8
+    a = np.stack([random_spd(rng, n) for _ in range(bsz)])
+    b = rng.normal(size=(bsz, n))
+    x = np.asarray(jax.vmap(spd_solve)(jnp.asarray(a), jnp.asarray(b)))
+    for i in range(bsz):
+        np.testing.assert_allclose(a[i] @ x[i], b[i], atol=1e-8)
