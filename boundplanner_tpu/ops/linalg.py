@@ -61,6 +61,25 @@ def solve_upper_t(l, b):
     return jax.lax.fori_loop(0, n, body, jnp.zeros_like(b))
 
 
+def invert_lower(l):
+    """Explicit inverse of a lower-triangular matrix, row-loop form.
+
+    Each of the n steps is a masked (n,)x(n,n) matvec — n sequential steps
+    total (vs n per *solve*), after which every solve with this factor is
+    two MXU matvecs. Worth it whenever the factor is reused (the IPM does
+    4 triangular solves per factorization)."""
+    n = l.shape[0]
+    idx = jnp.arange(n)
+    eye = jnp.eye(n, dtype=l.dtype)
+
+    def body(j, x):
+        mask = (idx < j).astype(l.dtype)
+        row = (eye[j] - (l[j] * mask) @ x) / l[j, j]
+        return x.at[j].set(row)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(l))
+
+
 def chol_solve(l, b):
     """Solve (L L^T) x = b given the factor."""
     return solve_upper_t(l, solve_lower(l, b))

@@ -34,7 +34,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .linalg import cholesky_masked, chol_solve
+from .linalg import cholesky_masked, chol_solve, invert_lower
 
 
 class QPSolution(NamedTuple):
@@ -86,12 +86,15 @@ def solve_qp(
         kkt = p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
         # masked column-loop Cholesky: batches as fused VPU ops under vmap
         # (XLA's cho_factor custom-call serializes for small batched
-        # matrices on TPU — it dominated the fused-tick profile)
+        # matrices on TPU — it dominated the fused-tick profile). The
+        # factor is inverted explicitly so the 4 solves per iteration
+        # become MXU matvecs instead of sequential substitution loops.
         chol = cholesky_masked(kkt)
+        l_inv = invert_lower(chol)
 
         def solve_dx(r_c):
             rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)
-            dx = chol_solve(chol, rhs)
+            dx = l_inv.T @ (l_inv @ rhs)
             ds = -r_p - g_mat @ dx
             dz = -(r_c + z * ds) / s
             return dx, ds, dz

@@ -36,3 +36,12 @@ def test_vmap(rng):
     x = np.asarray(jax.vmap(spd_solve)(jnp.asarray(a), jnp.asarray(b)))
     for i in range(bsz):
         np.testing.assert_allclose(a[i] @ x[i], b[i], atol=1e-8)
+
+
+def test_invert_lower(rng):
+    from boundplanner_tpu.ops.linalg import invert_lower
+    for n in (5, 40):
+        a = random_spd(rng, n)
+        l = np.linalg.cholesky(a)
+        li = np.asarray(invert_lower(jnp.asarray(l)))
+        np.testing.assert_allclose(li @ l, np.eye(n), atol=1e-9)
