@@ -231,6 +231,69 @@ def _polyhedron_once(p_seed, gen_l, shape_s, obs: ObstacleArrays, a_init, b_init
     return a_set, b_set, ok
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "max_iter"))
+def find_set_around_line(
+    p0,
+    dp1,
+    obs: ObstacleArrays,
+    ws_min,
+    ws_max,
+    n_rows: int = 20,
+    max_iter: int = 5,
+):
+    """Convex set grown around a line segment with the segment direction as
+    a fixed ellipsoid axis (ref `find_set_around_line`,
+    `ConvexSetFinder.py:242-307`): alternates separating-polytope sweeps
+    with the fixed-orientation MVIE (`mvie_fixed_r`), keeping the first
+    semi-axis long enough to cover the segment.
+
+    Returns (a (n_rows,3), b (n_rows,), shape (3,3), center (3,), ok).
+    """
+    from ..ops.mvie import mvie_fixed_r
+    from ..utils.so3 import gram_schmidt
+
+    dtype = p0.dtype
+    p1 = p0 + dp1
+    l_seg = jnp.linalg.norm(dp1)
+    dp_ref = dp1 / jnp.maximum(l_seg, 1e-12)
+    p_seed = 0.5 * (p0 + p1)
+    # axis lower bound (ref `:249`: a_lb = l_seg^2 / 4)
+    a_lb = l_seg**2 / 4.0
+    b1d = jnp.where(
+        jnp.abs(dp_ref[2]) < 0.99,
+        jnp.asarray([0.0, 0.0, 1.0], dtype),
+        jnp.asarray([0.0, 1.0, 0.0], dtype),
+    )
+    b1 = gram_schmidt(dp_ref, b1d)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(dp_ref, b1)
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2), 1e-12)
+    r_ell = jnp.stack([dp_ref, b1, b2], axis=1)
+
+    a_init, b_init = _init_rows_workspace(ws_min, ws_max, dtype)
+    gen0 = r_ell @ jnp.diag(jnp.asarray([a_lb, 1e-2, 1e-2], dtype))
+
+    def body(carry, _):
+        p, gen, det_old, done = carry
+        shape = gen @ gen.T
+        a_set, b_set, _ = _polyhedron_once(p, gen, shape, obs, a_init, b_init, n_rows)
+        res = mvie_fixed_r(a_set, b_set, p, r_ell, a_lb)
+        det_new = jnp.abs(jnp.linalg.det(res.gen))
+        degenerate = jnp.min(jnp.abs(jnp.diagonal(r_ell.T @ res.gen))) < 1e-3
+        conv = jnp.abs(det_new - det_old) / jnp.maximum(det_old, 1e-12) < 0.01
+        upd = ~done & res.ok & ~degenerate
+        gen = jnp.where(upd, res.gen, gen)
+        det_old = jnp.where(upd, det_new, det_old)
+        done = done | conv | degenerate | ~res.ok
+        return (p, gen, det_old, done), None
+
+    carry = (p_seed, gen0, jnp.asarray(1e-12, dtype), jnp.asarray(False))
+    (p, gen, _, _), _ = jax.lax.scan(body, carry, None, length=max_iter)
+    shape = gen @ gen.T
+    a_set, b_set, ok = _polyhedron_once(p, gen, shape, obs, a_init, b_init, n_rows)
+    return a_set, b_set, shape, p, ok
+
+
 @functools.partial(jax.jit, static_argnames=("fixed_mid", "n_rows", "max_iter"))
 def find_set_around_point(
     p_seed,

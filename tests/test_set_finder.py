@@ -104,3 +104,17 @@ def test_find_set_line_vmapped_links():
     assert a.shape == (6, 15, 3) and b.shape == (6, 15)
     for i in range(6):
         assert np.max(np.asarray(a[i]) @ np.asarray(p0s[i]) - np.asarray(b[i])) <= 1e-8
+
+
+def test_find_set_around_line():
+    from boundplanner_tpu.planner.set_finder import find_set_around_line
+    obs = simple_scene()
+    p0 = jnp.array([0.0, 0.3, 0.5])
+    dp1 = jnp.array([0.15, 0.0, 0.0])
+    a, b, shape, center, ok = find_set_around_line(p0, dp1, obs, WS_MIN, WS_MAX)
+    a, b = np.asarray(a), np.asarray(b)
+    # both endpoints inside
+    assert np.max(a @ np.asarray(p0) - b) <= 1e-6
+    assert np.max(a @ np.asarray(p0 + dp1) - b) <= 1e-6
+    # obstacle centers excluded
+    assert np.max(a @ np.array([0.4, 0.0, 0.3]) - b) > -1e-6
