@@ -1,0 +1,103 @@
+"""Randomized-scene fleets: plan on host, roll out batched on device.
+
+BASELINE configs 4-5 ("Batch-1024 randomized scenes", "Multi-host pod:
+10k+ parallel planner+MPC rollouts"): scenes differ in start configuration,
+goal pose and obstacle layout. Planning (irregular graph search) runs
+host-side per scene; the resulting PathStates/carries/obstacles stack into
+batched pytrees that the scenario-sharded closed-loop rollout consumes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as SciRotation
+
+from ..config import MPCParams
+from ..mpc.bound_mpc import init_carry
+from ..path.reference_path import build_path
+from ..planner import BoundPlanner
+from ..planner.set_finder import build_obstacle_arrays
+from ..robot import kinematics as kin
+
+DEFAULT_ER_BOUND = np.array([90, 90, 90, -90, -90, -90]) * np.pi / 180
+
+
+def random_scene(rng: np.random.Generator, n_obstacles: int = 3):
+    """A randomized tabletop scene: floor + boxes, random goal offset."""
+    obstacles = [[0.2, -1.0, -0.1, 1.0, 1.0, 0.0]]  # floor
+    for _ in range(n_obstacles):
+        c = rng.uniform([0.3, -0.6, 0.05], [0.7, 0.1, 0.5])
+        h = rng.uniform(0.03, 0.1, 3)
+        obstacles.append(list(np.concatenate([c - h, c + h])))
+    goal = rng.uniform([0.35, -0.55, 0.15], [0.6, -0.2, 0.6])
+    return obstacles, goal
+
+
+def plan_scene(q0, goal, obstacles, seed: int, cfg: MPCParams, dtype=np.float32):
+    """Plan one scene; returns (carry, obstacle arrays) or None on failure."""
+    pose0 = np.array(kin.fk_pose(jnp.asarray(np.asarray(q0, np.float64))))
+    p0 = pose0[:3]
+    r0 = SciRotation.from_rotvec(pose0[3:]).as_matrix()
+    r1 = SciRotation.from_euler("XYZ", [0, 90, 0], degrees=True).as_matrix()
+    planner = BoundPlanner(
+        e_p_max=0.5,
+        obstacles=obstacles,
+        workspace_max=[1.0, 0.38, 1.0],
+        workspace_min=[-0.14, -1.0, 0.0],
+        seed=seed,
+    )
+    try:
+        p_via, r_via, bp1_list, sets_via = planner.plan_convex_set_path(
+            p0.copy(), np.asarray(goal, float).copy(), r0, r1
+        )
+    except RuntimeError:
+        return None
+    a_sets = [x[0] for x in sets_via]
+    b_sets = [x[1] for x in sets_via]
+    br1 = [np.array([0.0, 0.0, 1.0])] * len(bp1_list)
+    erb = [DEFAULT_ER_BOUND] * len(bp1_list)
+    path = build_path(
+        p_via, r_via, bp1_list, br1, erb, a_sets, b_sets,
+        nr_segs=cfg.nr_segs, dtype=dtype,
+    )
+    carry = init_carry(path, pose0.astype(dtype), cfg, dtype)
+    obs = build_obstacle_arrays(obstacles, dtype=dtype)
+    return carry, obs
+
+
+def build_fleet(
+    batch: int,
+    cfg: MPCParams,
+    q0=None,
+    n_obstacles: int = 3,
+    seed: int = 0,
+    dtype=np.float32,
+):
+    """Plan ``batch`` randomized scenes and stack them into batched pytrees
+    (carries, q0s, obstacle arrays). Failed plans are re-drawn."""
+    from ..demo import DEMO_Q0
+
+    rng = np.random.default_rng(seed)
+    q0 = DEMO_Q0.copy() if q0 is None else np.asarray(q0, float)
+    carries, obs_list = [], []
+    draws = 0
+    while len(carries) < batch and draws < batch * 4:
+        draws += 1
+        obstacles, goal = random_scene(rng, n_obstacles)
+        out = plan_scene(q0, goal, obstacles, seed + draws, cfg, dtype)
+        if out is None:
+            continue
+        carries.append(out[0])
+        obs_list.append(out[1])
+    if len(carries) < batch:
+        raise RuntimeError(f"only {len(carries)}/{batch} scenes planned")
+
+    carry_b = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    obs_b = jax.tree.map(lambda *xs: np.stack(xs), *obs_list)
+    q0_b = np.broadcast_to(q0.astype(dtype), (batch, 7)).copy()
+    return carry_b, q0_b, obs_b
