@@ -1,0 +1,58 @@
+"""Solver-level failure detection and recovery (SURVEY.md §5.3).
+
+The reference's resilience is solver-level: on an infeasible solve it
+increments an error counter and replays the previous trajectory shifted in
+time (`BoundMPC.py:617-645,728-733`). Here we force infeasibility with an
+impossible convex set and check the fallback machinery."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+import jax
+import jax.numpy as jnp
+
+from boundplanner_tpu.config import MPCParams
+from boundplanner_tpu.mpc.bound_mpc import BoundMPC
+
+Q0 = np.array([0.0, 0.0, 0.0, -np.pi / 2, 0.0, np.pi / 2, 0.0])
+CFG = MPCParams(sqp_iters=3, qp_iters=8, line_search_steps=3)
+
+
+def make_mpc(a_sets, b_sets, p0, r0):
+    p_via = [p0[:3].copy(), p0[:3] + np.array([0.0, -0.2, 0.0])]
+    r_via = [r0, r0]
+    bp1 = [np.array([0.0, 0.0, 1.0])]
+    br1 = [np.array([0.0, 0.0, 1.0])]
+    erb = [np.array([90, 90, 90, -90, -90, -90]) * np.pi / 180]
+    return BoundMPC(
+        p_via, r_via, bp1, br1, erb, a_sets, b_sets, obstacles=[],
+        p0=p0, params=CFG,
+    )
+
+
+def test_infeasible_solve_reuses_previous():
+    from boundplanner_tpu.robot import kinematics as kin
+
+    pose0 = np.array(kin.fk_pose(jnp.asarray(Q0)))
+    r0 = R.from_rotvec(pose0[3:]).as_matrix()
+
+    # feasible first: free set
+    mpc = make_mpc([np.zeros((15, 3))], [np.ones(15)], pose0, r0)
+    zeros = np.zeros(7)
+    out1 = mpc.step(Q0, zeros, zeros, pose0, np.zeros(6), zeros)
+    assert mpc.error_count == 0
+    q_prev = out1[0]["q"].copy()
+
+    # corrupt the joint measurement: NaNs flow through the whole rollout,
+    # every constraint becomes NaN and the solve must be flagged failed
+    bad_q0 = Q0.copy()
+    bad_q0[2] = np.nan
+    out2 = mpc.step(bad_q0, zeros, zeros, pose0, np.zeros(6), zeros)
+    assert mpc.error_count == 1  # failure detected
+    # fallback replays the previous accepted trajectory shifted by one step
+    np.testing.assert_allclose(out2[0]["q"][:, 0], q_prev[:, 1], atol=1e-9)
+
+    # recovery: feasible measurement again -> error count resets
+    out3 = mpc.step(Q0, zeros, zeros, pose0, np.zeros(6), zeros)
+    assert mpc.error_count == 0
