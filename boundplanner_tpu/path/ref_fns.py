@@ -190,3 +190,9 @@ def error_function(
 def approx_one_norm(x, alpha=0.1):
     """Smooth |x| (ref `bound_mpc_functions.py:427-428`)."""
     return jnp.sqrt(jnp.sum(x * x) + alpha**2) - alpha
+
+
+def decompose_orthogonal_error(e_orth, v1, v2):
+    """Coordinates of an orthogonal error in the (v1, v2) plane
+    (ref `mpc_utils_casadi.py:73-92`)."""
+    return jnp.stack([jnp.dot(e_orth, v1), jnp.dot(e_orth, v2)])
