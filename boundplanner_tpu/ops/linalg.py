@@ -88,3 +88,65 @@ def chol_solve(l, b):
 def spd_solve(a, b):
     """Solve SPD system a x = b via the masked Cholesky."""
     return chol_solve(cholesky_masked(a), b)
+
+
+def _factor_panel(a_panel, k, nb, n):
+    """Factor columns [k, k+nb) over rows [k, n) of the panel (n-k, nb),
+    column loop with masked updates; returns the factored panel."""
+    rows = jnp.arange(a_panel.shape[0])
+
+    def body(jj, p):
+        d = jnp.sqrt(jnp.maximum(p[jj, jj], 1e-30))
+        col = jnp.where(rows > jj, p[:, jj] / d, 0.0)
+        p = p - jnp.outer(col, jnp.where(jnp.arange(nb) > jj, p[jj, :] / d, 0.0))
+        new_col = col.at[jj].set(d)
+        p = p.at[:, jj].set(jnp.where(rows >= jj, new_col, p[:, jj]))
+        return p
+
+    return jax.lax.fori_loop(0, nb, body, a_panel)
+
+
+def blocked_cholesky(a, nb: int = 34):
+    """Blocked right-looking Cholesky (pure JAX, static block loop).
+
+    The trailing update per block is one matmul (MXU) instead of nb
+    rank-1 streams — ~nb x less HBM traffic than the column loop for the
+    dominant part. n must be divisible by nb."""
+    n = a.shape[0]
+    assert n % nb == 0, (n, nb)
+    for k in range(0, n, nb):
+        panel = _factor_panel(a[k:, k : k + nb], k, nb, n)
+        a = a.at[k:, k : k + nb].set(panel)
+        if k + nb < n:
+            l21 = panel[nb:, :]  # (n-k-nb, nb)
+            a = a.at[k + nb :, k + nb :].add(-(l21 @ l21.T))
+    return jnp.tril(a)
+
+
+def blocked_invert_lower(l, nb: int = 34):
+    """Blocked lower-triangular inversion: X = L^{-1}.
+
+    Uses X_kk = inv(L_kk) (small row loop) and
+    X_ik = -inv(L_ii) L_i,k..i X_k..i,k accumulated blockwise (matmuls)."""
+    n = l.shape[0]
+    assert n % nb == 0
+    nblk = n // nb
+    # invert diagonal blocks with the row loop
+    diag_inv = []
+    for i in range(nblk):
+        diag_inv.append(invert_lower(l[i * nb : (i + 1) * nb, i * nb : (i + 1) * nb]))
+    x = jnp.zeros_like(l)
+    for i in range(nblk):
+        x = x.at[i * nb : (i + 1) * nb, i * nb : (i + 1) * nb].set(diag_inv[i])
+    # off-diagonal blocks, column of blocks k, rows i > k
+    for k in range(nblk):
+        for i in range(k + 1, nblk):
+            acc = jnp.zeros((nb, nb), l.dtype)
+            for j in range(k, i):
+                acc = acc + l[i * nb : (i + 1) * nb, j * nb : (j + 1) * nb] @ x[
+                    j * nb : (j + 1) * nb, k * nb : (k + 1) * nb
+                ]
+            x = x.at[i * nb : (i + 1) * nb, k * nb : (k + 1) * nb].set(
+                -diag_inv[i] @ acc
+            )
+    return x

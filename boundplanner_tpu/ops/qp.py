@@ -34,7 +34,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .linalg import cholesky_masked, chol_solve, invert_lower
+from .linalg import (blocked_cholesky, blocked_invert_lower,
+                     cholesky_masked, chol_solve, invert_lower)
 
 
 class QPSolution(NamedTuple):
@@ -89,8 +90,13 @@ def solve_qp(
         # matrices on TPU — it dominated the fused-tick profile). The
         # factor is inverted explicitly so the 4 solves per iteration
         # become MXU matvecs instead of sequential substitution loops.
-        chol = cholesky_masked(kkt)
-        l_inv = invert_lower(chol)
+        if n % 34 == 0 and n >= 68:
+            # blocked path: trailing updates and inversion are MXU matmuls
+            chol = blocked_cholesky(kkt, 34)
+            l_inv = blocked_invert_lower(chol, 34)
+        else:
+            chol = cholesky_masked(kkt)
+            l_inv = invert_lower(chol)
 
         def solve_dx(r_c):
             rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)

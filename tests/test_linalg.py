@@ -45,3 +45,28 @@ def test_invert_lower(rng):
         l = np.linalg.cholesky(a)
         li = np.asarray(invert_lower(jnp.asarray(l)))
         np.testing.assert_allclose(li @ l, np.eye(n), atol=1e-9)
+
+
+def test_blocked_cholesky(rng):
+    from boundplanner_tpu.ops.linalg import blocked_cholesky
+    n = 136
+    a = random_spd(rng, n)
+    l = np.asarray(blocked_cholesky(jnp.asarray(a), nb=34))
+    np.testing.assert_allclose(l, np.linalg.cholesky(a), atol=1e-7 * n)
+
+
+def test_blocked_invert(rng):
+    from boundplanner_tpu.ops.linalg import blocked_cholesky, blocked_invert_lower
+    n = 136
+    a = random_spd(rng, n)
+    l = blocked_cholesky(jnp.asarray(a), nb=34)
+    li = np.asarray(blocked_invert_lower(l, nb=34))
+    np.testing.assert_allclose(li @ np.asarray(l), np.eye(n), atol=1e-8)
+
+
+def test_blocked_vmap(rng):
+    from boundplanner_tpu.ops.linalg import blocked_cholesky
+    a = np.stack([random_spd(rng, 68) for _ in range(4)])
+    ls = np.asarray(jax.vmap(lambda m: blocked_cholesky(m, nb=34))(jnp.asarray(a)))
+    for i in range(4):
+        np.testing.assert_allclose(ls[i], np.linalg.cholesky(a[i]), atol=1e-6)
