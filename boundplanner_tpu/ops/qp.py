@@ -90,13 +90,12 @@ def solve_qp(
         # matrices on TPU — it dominated the fused-tick profile). The
         # factor is inverted explicitly so the 4 solves per iteration
         # become MXU matvecs instead of sequential substitution loops.
-        if n % 34 == 0 and n >= 68:
-            # blocked path: trailing updates and inversion are MXU matmuls
-            chol = blocked_cholesky(kkt, 34)
-            l_inv = blocked_invert_lower(chol, 34)
-        else:
-            chol = cholesky_masked(kkt)
-            l_inv = invert_lower(chol)
+        # NOTE: a blocked variant (linalg.blocked_cholesky) was benched and
+        # is ~20% SLOWER inside the fused tick: the unrolled block updates
+        # force whole-matrix copies per `.at[].set`, outweighing the HBM
+        # traffic saved by MXU trailing updates. The column loop stays.
+        chol = cholesky_masked(kkt)
+        l_inv = invert_lower(chol)
 
         def solve_dx(r_c):
             rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)
