@@ -56,6 +56,13 @@ def main():
     final, recs = roll(cb, q0b, ob)
     _ = float(recs["phi"][0, -1])
 
+    import os
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            final, recs = roll(cb, q0b, ob)
+            _ = float(recs["phi"][0, -1])
+
     t0 = time.perf_counter()
     final, recs = roll(cb, q0b, ob)
     _ = float(recs["phi"][0, -1])
