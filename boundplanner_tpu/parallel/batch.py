@@ -88,3 +88,36 @@ def closed_loop_rollout(carry, q0, obs, cfg: MPCParams, n_ticks: int):
     state0 = (carry, q0, zeros, zeros, zeros, q0)
     state, recs = jax.lax.scan(step, state0, None, length=n_ticks)
     return state[0], recs
+
+
+def chunked_rollout(carry_b, q0_b, obs_b, cfg: MPCParams, n_ticks: int,
+                    chunk: int = 128):
+    """Closed-loop rollout of an arbitrarily large fleet in fixed-width
+    chunks.
+
+    On tunnel-attached TPUs, compile time grows with buffer sizes, so one
+    compiled 128-wide program (sequentially mapped over chunks with
+    ``lax.map``) scales to any fleet size with bounded compile cost —
+    BASELINE config 4 ("batch-1024 randomized scenes").
+
+    The leading batch axis must be divisible by ``chunk``.
+    """
+    bsz = jax.tree.leaves(q0_b)[0].shape[0]
+    if bsz % chunk:
+        raise ValueError(f"batch {bsz} not divisible by chunk {chunk}")
+    k = bsz // chunk
+
+    reshape = lambda x: jnp.reshape(jnp.asarray(x), (k, chunk) + x.shape[1:])
+    carry_c = jax.tree.map(reshape, carry_b)
+    obs_c = jax.tree.map(reshape, obs_b)
+    q0_c = reshape(jnp.asarray(q0_b))
+
+    def run_chunk(args):
+        c, q, o = args
+        return jax.vmap(
+            lambda cc, qq, oo: closed_loop_rollout(cc, qq, oo, cfg, n_ticks)
+        )(c, q, o)
+
+    final_c, recs_c = jax.lax.map(run_chunk, (carry_c, q0_c, obs_c))
+    unshape = lambda x: jnp.reshape(x, (bsz,) + x.shape[2:])
+    return jax.tree.map(unshape, final_c), jax.tree.map(unshape, recs_c)
