@@ -508,6 +508,9 @@ class BoundMPC:
             "dddq": out["dddq"].T,
             "p": out["p"][1:].T,
             "v": out["v"][1:].T,
+            # the reference aliases acc to vel (`BoundMPC.py:734`); kept for
+            # API parity
+            "a": out["v"][1:].T,
             "phi": out["phi"][1:],
             "dphi": out["dphi"][1:],
         }
