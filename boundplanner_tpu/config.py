@@ -78,8 +78,10 @@ def default_mpc_params() -> MPCParams:
 
 def perf_mpc_params() -> MPCParams:
     """The standard throughput configuration used by bench.py and the graft
-    entry — kept identical so the persistent XLA compile cache is shared."""
-    return MPCParams(sqp_iters=6, qp_iters=12, line_search_steps=4)
+    entry — kept identical so the persistent XLA compile cache is shared.
+    qp_iters=9 A/B-verified: identical success rate / violations to 12 on
+    both the bench fleet and the CPU obstacle e2e, +25% throughput."""
+    return MPCParams(sqp_iters=6, qp_iters=9, line_search_steps=4)
 
 
 @dataclasses.dataclass(frozen=True)
