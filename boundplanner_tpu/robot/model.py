@@ -118,12 +118,24 @@ class RobotModel:
         )
 
     # --- kinematics pass-throughs (numpy in / numpy out) ---
+    # jitted once per chain: host-side calls dispatch a single compiled
+    # program instead of an eager op chain (critical on tunnel backends)
+
+    def _fk_bundle(self):
+        if not hasattr(self, "_fk_jit"):
+            chain = self.chain
+
+            def bundle(q, dq):
+                p = kin.fk_pose(q, chain)
+                jac = kin.jacobian_fk(q, chain)
+                djac = jax.jvp(lambda qq: kin.jacobian_fk(qq, chain), (q,), (dq,))[1]
+                return p, jac, djac
+
+            self._fk_jit = jax.jit(bundle)
+        return self._fk_jit
 
     def forward_kinematics(self, q, dq):
-        q, dq = jnp.asarray(q), jnp.asarray(dq)
-        p = kin.fk_pose(q, self.chain)
-        jac = kin.jacobian_fk(q, self.chain)
-        djac = jax.jvp(lambda qq: kin.jacobian_fk(qq, self.chain), (q,), (dq,))[1]
+        p, jac, djac = self._fk_bundle()(jnp.asarray(q), jnp.asarray(dq))
         return np.asarray(p), np.asarray(jac), np.asarray(djac)
 
     def fk(self, q):
