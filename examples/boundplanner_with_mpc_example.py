@@ -1,9 +1,17 @@
 """Full planner + receding-horizon MPC loop — parity config 3 of
 BASELINE.json (ref `boundplanner_with_mpc_example.py`)."""
 
+import os
 import sys
 import time
 from pathlib import Path
+
+# honor BP_PLATFORM=cpu|axon (the JAX_PLATFORMS env var is overridden by
+# the site hook on this machine; see CLAUDE.md)
+if os.environ.get("BP_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["BP_PLATFORM"])
 
 import numpy as np
 from scipy.spatial.transform import Rotation as R

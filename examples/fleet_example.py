@@ -6,9 +6,17 @@ fleet size). On a multi-chip slice, shard with
 ``parallel.mesh.shard_batch`` first.
 """
 
+import os
 import sys
 import time
 from pathlib import Path
+
+# honor BP_PLATFORM=cpu|axon (the JAX_PLATFORMS env var is overridden by
+# the site hook on this machine; see CLAUDE.md)
+if os.environ.get("BP_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["BP_PLATFORM"])
 
 import numpy as np
 
@@ -23,6 +31,7 @@ from boundplanner_tpu.parallel.fleet import build_fleet
 
 
 def main(batch: int = 16, ticks: int = 10, chunk: int = 8):
+    chunk = min(chunk, batch)
     cfg = perf_mpc_params()
     print(f"planning {batch} randomized scenes ...")
     t0 = time.time()
