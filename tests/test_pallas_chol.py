@@ -1,0 +1,25 @@
+"""Pallas batched Cholesky-inverse kernel vs numpy (interpreter mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from boundplanner_tpu.ops.pallas_chol import cholesky_inverse
+
+
+def test_matches_numpy(rng):
+    n, bsz = 16, 5
+    ks = []
+    for _ in range(bsz):
+        a = rng.normal(size=(n, n))
+        ks.append(a @ a.T + n * np.eye(n))
+    ks = np.stack(ks).astype(np.float64)
+    li = np.asarray(cholesky_inverse(jnp.asarray(ks), interpret=True))
+    for i in range(bsz):
+        l_ref = np.linalg.cholesky(ks[i])
+        np.testing.assert_allclose(li[i] @ l_ref, np.eye(n), atol=1e-9)
+        # K^{-1} = L^{-T} L^{-1}
+        np.testing.assert_allclose(
+            li[i].T @ li[i] @ ks[i], np.eye(n), atol=1e-7
+        )
