@@ -2,11 +2,17 @@
 
 The KKT solves inside the QP IPM are the hot linear algebra of the engine
 (~72% of the fused tick before the masked-loop rewrite). This kernel goes
-one step further than `ops.linalg`: the whole (n, n, LANES) working set
+one step further than `ops.linalg`: the whole (n, n, 128) working set
 stays resident in VMEM across all 2n column/row steps, with the *batch*
 in the 128-lane axis — zero HBM traffic between steps, pure VPU updates.
 
-Returns L^{-1} directly (the IPM then solves via two MXU matvecs).
+VMEM budget trick: the input batch stays in HBM (`pltpu.ANY`) and is
+DMA'd into the single output buffer, where both the factorization and the
+inversion run fully in place (X rows overwrite L rows that are no longer
+needed: step j' of the inversion reads L row j' and X rows k < j', never
+L rows < j').
+
+Returns L^{-1}; a solve is then two MXU matvecs.
 
 Integration status: validated building block (like `pallas_proj`); wiring
 it under the scene-vmap of the fused tick requires the explicit-batch QP
@@ -23,46 +29,67 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 32  # VMEM budget: 3 buffers x (n, n, LANES) f32 with n ~ 136
+LANES = 128  # mandated by Mosaic block-shape rules for the lane dim
 
 
-def _kernel(k_ref, out_ref, a_ref, n: int):
-    """One tile of LANES problems. k_ref/out_ref/a_ref: (n, n, LANES)."""
+def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
+    """One tile of LANES problems; a_ref (n, n, LANES) is the only VMEM
+    buffer: K -> L (in place) -> L^{-1} (in place), then DMA'd out."""
+    i = pl.program_id(0)
+    tile = pl.ds(i * LANES, LANES)
+    dma_in = pltpu.make_async_copy(k_hbm_ref.at[:, :, tile], a_ref, sem)
+    dma_in.start()
+    dma_in.wait()
+    out_ref = a_ref  # factorization + inversion run in this one buffer
+
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-
-    a_ref[:] = k_ref[:]
+    # whole-buffer value updates materialize an (n, n, L) temporary that
+    # blows the 16 MB VMEM budget; process row-halves instead
+    half = n // 2
+    halves = ((0, half), (half, n - half))
+    row_ids_h = [
+        jax.lax.broadcasted_iota(jnp.int32, (hn, 1, 1), 0) + h0
+        for h0, hn in halves
+    ]
 
     def chol_step(j, _):
-        col = a_ref[:, pl.ds(j, 1), :]                      # (n, 1, L)
-        onehot_c = (row_ids == j).astype(col.dtype)         # (n, 1, 1)
+        col = out_ref[:, pl.ds(j, 1), :]                    # (n, 1, L)
+        onehot_c = (row_ids == j).astype(col.dtype)
         d = jnp.sqrt(
             jnp.maximum(jnp.sum(col * onehot_c, axis=0, keepdims=True), 1e-30)
-        )                                                    # (1, 1, L)
+        )
         colb = jnp.where(row_ids > j, col / d, 0.0)
-        row = a_ref[pl.ds(j, 1), :, :]                      # (1, n, L)
+        row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
         rowb = jnp.where(col_ids > j, row / d, 0.0)
-        # trailing (symmetric) rank-1 update, entirely in VMEM
-        a_ref[:] = a_ref[:] - colb * rowb
-        # store L's column j (diag d, below-diagonal colb)
-        a_ref[:, pl.ds(j, 1), :] = colb + onehot_c * d
+        for (h0, hn) in halves:                             # trailing update
+            blk = out_ref[pl.ds(h0, hn), :, :]
+            out_ref[pl.ds(h0, hn), :, :] = blk - colb[h0 : h0 + hn] * rowb
+        out_ref[:, pl.ds(j, 1), :] = colb + onehot_c * d    # store L column j
         return 0
 
     jax.lax.fori_loop(0, n, chol_step, 0)
 
-    out_ref[:] = jnp.zeros_like(out_ref)
-
     def inv_step(j, _):
-        row = a_ref[pl.ds(j, 1), :, :]                      # (1, n, L) row of L
-        onehot_r = (col_ids == j).astype(row.dtype)         # (1, n, 1)
+        row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
+        onehot_r = (col_ids == j).astype(row.dtype)
         d = jnp.sum(row * onehot_r, axis=1, keepdims=True)  # (1, 1, L)
-        lrow = jnp.where(col_ids < j, row, 0.0)             # strict lower part
+        lrow = jnp.where(col_ids < j, row, 0.0)             # L[j, :j]
         lrow_t = jnp.transpose(lrow, (1, 0, 2))             # (n, 1, L)
-        s = jnp.sum(lrow_t * out_ref[:], axis=0, keepdims=True)  # (1, n, L)
+        # rows k < j of out_ref already hold X rows; rows >= j unused here
+        s = 0.0
+        for hi, (h0, hn) in enumerate(halves):
+            blk = out_ref[pl.ds(h0, hn), :, :]
+            masked = jnp.where(row_ids_h[hi] < j, blk, 0.0)
+            s = s + jnp.sum(lrow_t[h0 : h0 + hn] * masked, axis=0, keepdims=True)
         out_ref[pl.ds(j, 1), :, :] = (onehot_r - s) / d
         return 0
 
     jax.lax.fori_loop(0, n, inv_step, 0)
+
+    dma_out = pltpu.make_async_copy(a_ref, out_hbm_ref.at[:, :, tile], sem)
+    dma_out.start()
+    dma_out.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -86,10 +113,13 @@ def cholesky_inverse(k_batch, interpret: bool = False):
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n, btot), dtype),
-        scratch_shapes=[pltpu.VMEM((n, n, LANES), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(k_t)
     return jnp.transpose(out_t, (2, 0, 1))[:bsz]
