@@ -39,6 +39,9 @@ class MPCParams:
     qp_iters: int = 25
     line_search_steps: int = 6
     merit_penalty: float = 1e3
+    # route batched KKT factorizations to the Pallas all-VMEM kernel
+    # (TPU-only; non-TPU backends fall back automatically)
+    pallas_kkt: bool = False
 
     def __post_init__(self):
         if not self.weights:
@@ -81,7 +84,8 @@ def perf_mpc_params() -> MPCParams:
     entry — kept identical so the persistent XLA compile cache is shared.
     qp_iters=9 A/B-verified: identical success rate / violations to 12 on
     both the bench fleet and the CPU obstacle e2e, +25% throughput."""
-    return MPCParams(sqp_iters=6, qp_iters=9, line_search_steps=4)
+    return MPCParams(sqp_iters=6, qp_iters=9, line_search_steps=4,
+                     pallas_kkt=True)
 
 
 @dataclasses.dataclass(frozen=True)

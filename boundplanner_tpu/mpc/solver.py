@@ -29,4 +29,5 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         line_search_steps=cfg.line_search_steps,
         merit_penalty=cfg.merit_penalty,
         viol_tol=1e-4,
+        pallas_kkt=cfg.pallas_kkt,
     )

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .linalg import (blocked_cholesky, blocked_invert_lower,
-                     cholesky_masked, chol_solve, invert_lower)
+                     cholesky_masked, chol_solve, invert_lower, kkt_inverse)
 
 
 class QPSolution(NamedTuple):
@@ -54,7 +54,7 @@ def _step_len(v, dv, tau=0.995):
     return jnp.minimum(1.0, tau * jnp.min(ratio))
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "pallas_kkt"))
 def solve_qp(
     p_mat: jax.Array,
     q_vec: jax.Array,
@@ -64,6 +64,7 @@ def solve_qp(
     iters: int = 30,
     tol: float = 1e-9,
     reg: float = 1e-10,
+    pallas_kkt: bool = False,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches."""
     n = q_vec.shape[0]
@@ -93,9 +94,13 @@ def solve_qp(
         # NOTE: a blocked variant (linalg.blocked_cholesky) was benched and
         # is ~20% SLOWER inside the fused tick: the unrolled block updates
         # force whole-matrix copies per `.at[].set`, outweighing the HBM
-        # traffic saved by MXU trailing updates. The column loop stays.
-        chol = cholesky_masked(kkt)
-        l_inv = invert_lower(chol)
+        # traffic saved by MXU trailing updates. The column loop stays;
+        # with pallas_kkt, batches route to the all-VMEM Pallas kernel via
+        # a custom_vmap rule (linalg.kkt_inverse).
+        if pallas_kkt:
+            l_inv = kkt_inverse(kkt)
+        else:
+            l_inv = invert_lower(cholesky_masked(kkt))
 
         def solve_dx(r_c):
             rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)

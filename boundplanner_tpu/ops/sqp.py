@@ -40,6 +40,7 @@ def gauss_newton_sqp(
     line_search_steps: int = 6,
     merit_penalty: float = 1e3,
     viol_tol: float = 1e-4,
+    pallas_kkt: bool = False,
 ) -> SQPResult:
     nu = jnp.asarray(merit_penalty, x0.dtype)
     n_x = x0.shape[0]
@@ -60,7 +61,8 @@ def gauss_newton_sqp(
         grad = 2.0 * jr.T @ r
         hess = 2.0 * jr.T @ jr + lam * eye
 
-        qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10)
+        qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
+                      pallas_kkt=pallas_kkt)
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]
