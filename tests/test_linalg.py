@@ -70,3 +70,32 @@ def test_blocked_vmap(rng):
     ls = np.asarray(jax.vmap(lambda m: blocked_cholesky(m, nb=34))(jnp.asarray(a)))
     for i in range(4):
         np.testing.assert_allclose(ls[i], np.linalg.cholesky(a[i]), atol=1e-6)
+
+
+def test_kkt_inverse_custom_vmap(rng):
+    """The custom_vmap-routed KKT inverse must match the column loop in
+    every calling pattern (unbatched, vmapped; the Pallas path itself is
+    TPU-only and exercised by bench/entry)."""
+    from boundplanner_tpu.ops.linalg import kkt_inverse, invert_lower, cholesky_masked
+
+    ks = np.stack([random_spd(rng, 24) for _ in range(5)])
+    ref = np.asarray(jax.vmap(lambda k: invert_lower(cholesky_masked(k)))(jnp.asarray(ks)))
+    out_b = np.asarray(jax.jit(jax.vmap(kkt_inverse))(jnp.asarray(ks)))
+    np.testing.assert_allclose(out_b, ref, atol=1e-12)
+    out_1 = np.asarray(kkt_inverse(jnp.asarray(ks[0])))
+    np.testing.assert_allclose(out_1, ref[0], atol=1e-12)
+
+
+def test_solve_qp_pallas_flag_equivalence(rng):
+    from boundplanner_tpu.ops.qp import solve_qp
+
+    n, m = 8, 16
+    a = rng.normal(size=(n, n))
+    p = a @ a.T + np.eye(n)
+    q = rng.normal(size=n)
+    g = rng.normal(size=(m, n))
+    h = g @ (0.1 * rng.normal(size=n)) + rng.uniform(0.1, 1, m)
+    args = [jnp.asarray(np.stack([v] * 3)) for v in (p, q, g, h)]
+    x_off = np.asarray(jax.vmap(lambda *a: solve_qp(*a, pallas_kkt=False).x)(*args))
+    x_on = np.asarray(jax.vmap(lambda *a: solve_qp(*a, pallas_kkt=True).x)(*args))
+    np.testing.assert_allclose(x_on, x_off, atol=1e-12)
