@@ -42,6 +42,11 @@ class MPCParams:
     # route batched KKT factorizations to the Pallas all-VMEM kernel
     # (TPU-only; non-TPU backends fall back automatically)
     pallas_kkt: bool = False
+    # QP subproblem backend: "ipm" (Mehrotra, one factorization per IPM
+    # iteration) or "admm" (OSQP-style, ONE factorization per SQP
+    # iteration + admm_iters cheap matvec sweeps)
+    qp_solver: str = "ipm"
+    admm_iters: int = 60
 
     def __post_init__(self):
         if not self.weights:

@@ -38,6 +38,7 @@ from ..path.reference_path import (
     path_window,
 )
 from ..planner.set_finder import ObstacleArrays, build_obstacle_arrays
+from ..robot import kinematics
 from ..utils import so3
 from . import ocp, prep
 from .solver import solve_sqp
@@ -391,6 +392,20 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     return carry_new, outputs
 
 
+@jax.jit
+def _cartesian_acc(q, dq, ddq):
+    """True Cartesian acceleration a = J(q) ddq + dJ(q, dq) dq over a
+    horizon of joint states (ref `RobotModel.py:233-251` Jacobian time
+    variation; the reference never wires it into traj_data)."""
+
+    def one(qi, dqi, ddqi):
+        j = kinematics.jacobian_fk(qi)
+        dj = kinematics.djacobian_fk(qi, dqi)
+        return j @ ddqi + dj @ dqi
+
+    return jax.vmap(one)(q, dq, ddq)
+
+
 class BoundMPC:
     """Host-facing single-scene wrapper mirroring the reference API
     (`BoundMPC.py:28-336`)."""
@@ -408,8 +423,13 @@ class BoundMPC:
         p0=np.zeros(6),
         params: MPCParams | None = None,
         dtype=jnp.float64,
+        cartesian_acc: bool = False,
     ):
         self.cfg = params or MPCParams()
+        # opt-in: report TRUE Cartesian acceleration J ddq + dJ dq in
+        # traj_data["a"] instead of the reference's vel alias
+        # (`BoundMPC.py:734` assigns the velocity trajectory to acc)
+        self.cartesian_acc = cartesian_acc
         self.dtype = dtype
         self.obs = build_obstacle_arrays(obstacles, size_increase=0.0)
         path = build_path(
@@ -509,8 +529,18 @@ class BoundMPC:
             "p": out["p"][1:].T,
             "v": out["v"][1:].T,
             # the reference aliases acc to vel (`BoundMPC.py:734`); kept for
-            # API parity
-            "a": out["v"][1:].T,
+            # API parity unless cartesian_acc=True requests the true value
+            "a": (
+                np.asarray(
+                    _cartesian_acc(
+                        jnp.asarray(out["q"][1:]),
+                        jnp.asarray(out["dq"][1:]),
+                        jnp.asarray(out["ddq"][1:]),
+                    )
+                ).T
+                if self.cartesian_acc
+                else out["v"][1:].T
+            ),
             "phi": out["phi"][1:],
             "dphi": out["dphi"][1:],
         }

@@ -30,4 +30,6 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         merit_penalty=cfg.merit_penalty,
         viol_tol=1e-4,
         pallas_kkt=cfg.pallas_kkt,
+        qp_solver=cfg.qp_solver,
+        admm_iters=cfg.admm_iters,
     )

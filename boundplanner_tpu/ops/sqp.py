@@ -21,7 +21,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .qp import solve_qp
+from .qp import solve_qp, solve_qp_admm
 
 
 class SQPResult(NamedTuple):
@@ -41,6 +41,8 @@ def gauss_newton_sqp(
     merit_penalty: float = 1e3,
     viol_tol: float = 1e-4,
     pallas_kkt: bool = False,
+    qp_solver: str = "ipm",
+    admm_iters: int = 60,
 ) -> SQPResult:
     nu = jnp.asarray(merit_penalty, x0.dtype)
     n_x = x0.shape[0]
@@ -61,8 +63,12 @@ def gauss_newton_sqp(
         grad = 2.0 * jr.T @ r
         hess = 2.0 * jr.T @ jr + lam * eye
 
-        qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
-                      pallas_kkt=pallas_kkt)
+        if qp_solver == "admm":
+            qp = solve_qp_admm(hess, grad, jg, -g, iters=admm_iters,
+                               pallas_kkt=pallas_kkt)
+        else:
+            qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
+                          pallas_kkt=pallas_kkt)
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]

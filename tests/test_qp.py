@@ -138,3 +138,18 @@ def test_lp_intersection(rng):
         res = sopt.linprog(np.zeros(3), A_ub=g, b_ub=h, bounds=(None, None))
         x, t, sol = solve_feasibility(jnp.asarray(g), jnp.asarray(h))
         assert bool(float(t) < 1e-7) == bool(res.success)
+
+
+def test_admm_vs_ipm(rng):
+    """ADMM QP reaches the IPM solution on well-conditioned instances."""
+    from boundplanner_tpu.ops.qp import solve_qp_admm
+
+    for _ in range(8):
+        p, q, g, h = random_qp(rng, n=8, m=16)
+        x_ipm = np.asarray(SOLVE_QP(*[jnp.asarray(v) for v in (p, q, g, h)]).x)
+        sol = solve_qp_admm(
+            jnp.asarray(p), jnp.asarray(q), jnp.asarray(g), jnp.asarray(h),
+            iters=400,
+        )
+        np.testing.assert_allclose(np.asarray(sol.x), x_ipm, atol=2e-3)
+        assert float(sol.r_p) < 1e-4

@@ -82,3 +82,19 @@ def test_infeasible_reports_failure():
                            line_search_steps=5)
     assert not bool(res.success)
     assert float(res.viol) > 0.5
+
+
+def test_admm_backend_matches():
+    """qp_solver="admm" reaches the same constrained optimum (ball
+    projection) as the IPM backend."""
+    c = np.array([2.0, 1.0, -1.0])
+
+    def eval_fn(z):
+        return z - jnp.asarray(c), jnp.stack([jnp.sum(z * z) - 1.0])
+
+    res = gauss_newton_sqp(eval_fn, jnp.zeros(3), iters=30,
+                           line_search_steps=8, viol_tol=1e-5,
+                           qp_solver="admm", admm_iters=200)
+    assert bool(res.success)
+    np.testing.assert_allclose(np.asarray(res.x), c / np.linalg.norm(c),
+                               atol=1e-3)

@@ -61,3 +61,24 @@ def test_mpc_node_records_ticks():
     s = node.telemetry.summary()
     assert s["ticks"] == 2
     assert np.isfinite(s["t_comp_mean"])
+
+
+def test_cartesian_acc_option():
+    """cartesian_acc=True reports a = J ddq + dJ dq; finite-difference of
+    the velocity trajectory agrees (interior points)."""
+    import jax.numpy as jnp
+    from boundplanner_tpu.mpc.bound_mpc import _cartesian_acc
+    from boundplanner_tpu.robot import kinematics
+
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(5, 7)) * 0.4
+    dq = rng.normal(size=(5, 7)) * 0.2
+    ddq = rng.normal(size=(5, 7)) * 0.1
+    a = np.asarray(_cartesian_acc(jnp.asarray(q), jnp.asarray(dq), jnp.asarray(ddq)))
+    assert a.shape == (5, 6)
+    # finite-difference check on one state: d/dt (J dq) at fixed ddq=0
+    eps = 1e-6
+    j0 = np.asarray(kinematics.jacobian_fk(jnp.asarray(q[0])))
+    jp = np.asarray(kinematics.jacobian_fk(jnp.asarray(q[0] + eps * dq[0])))
+    fd = (jp - j0) / eps @ dq[0] + j0 @ ddq[0]
+    np.testing.assert_allclose(a[0], fd, atol=1e-4)
