@@ -47,6 +47,9 @@ class MPCParams:
     # iteration + admm_iters cheap matvec sweeps)
     qp_solver: str = "ipm"
     admm_iters: int = 60
+    # structured chain-rule OCP Jacobians (`mpc.ocp_jac`) instead of
+    # jacfwd through the full evaluation — identical values, fewer tangents
+    manual_jac: bool = False
 
     def __post_init__(self):
         if not self.weights:

@@ -130,12 +130,13 @@ def _win_with_proj(win, carry, p0_rot):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
-    """One control period. ``meas``: q0, dq0, ddq0, p0, v0, u0, qf."""
+def build_tick_params(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
+    """Steps 1-4 of the tick: advance the window, prep rotation errors,
+    shape the phi weights, build link collision sets, and assemble the
+    OCP parameter dict (ref `BoundMPC.py:393-498,507-542`). Split out of
+    `mpc_tick` so tests and tools can construct realistic OCP params."""
     n, nr_segs = cfg.n, cfg.nr_segs
     dtype = meas["q0"].dtype
-    acc = 0.005  # in-set accuracy of the switching test (ref `BoundMPC.py:917`)
 
     # 1) advance window if last tick requested a switch (ref `:393-399`)
     path = path_advance(carry.path, carry.switch)
@@ -181,6 +182,17 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
         "b_set_joints": b_j,
         **proj,
     }
+    return params, path, win, proj
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
+    """One control period. ``meas``: q0, dq0, ddq0, p0, v0, u0, qf."""
+    n, nr_segs = cfg.n, cfg.nr_segs
+    dtype = meas["q0"].dtype
+    acc = 0.005  # in-set accuracy of the switching test (ref `BoundMPC.py:917`)
+
+    params, path, win, proj = build_tick_params(carry, meas, obs, cfg)
 
     # 5) solve (warm start: previous decision vector, ref `:412-418`)
     x0 = jnp.where(carry.has_prev, carry.x_prev, jnp.zeros_like(carry.x_prev))

@@ -134,7 +134,59 @@ def rollout(x, params, cfg: MPCParams):
     }
 
 
-def _per_step_ref_err(params, traj, k, n: int, nr_segs: int):
+# --------------------------------------------------------------------------
+# Per-step local evaluation over a packed input vector z.
+#
+# z packs everything step k's residuals/constraints depend on:
+#   [ q_k(7) | dq_k(7) | u_k(7) | p_k(6) | v_k(6) | rs_k | drs_k | ps_k |
+#     dps_k | dslacks(6) | p_col_k(6x3 flat) ]  -> dim 61
+#
+# This factoring serves double duty: `evaluate` vmaps `_step_local` over
+# the horizon (same graph as before), and the manual-chain-rule Jacobian
+# (`ocp_jac.evaluate_with_jac`) differentiates `_step_local` w.r.t. z
+# (61 tangents through the reference/error math only — the FK and the
+# affine state recursions are handled by per-step 7-tangent bundles and
+# static sensitivity matrices).
+# --------------------------------------------------------------------------
+
+N_Z = 61
+
+
+def pack_z(q_k, dq_k, u_k, p_k, v_k, rs_k, drs_k, ps_k, dps_k, dslacks, p_col_k):
+    return jnp.concatenate(
+        [
+            q_k,
+            dq_k,
+            u_k,
+            p_k,
+            v_k,
+            rs_k[None],
+            drs_k[None],
+            ps_k[None],
+            dps_k[None],
+            dslacks,
+            p_col_k.reshape(-1),
+        ]
+    )
+
+
+def unpack_z(z):
+    return {
+        "q": z[0:7],
+        "dq": z[7:14],
+        "u": z[14:21],
+        "p": z[21:27],
+        "v": z[27:33],
+        "rs": z[33],
+        "drs": z[34],
+        "ps": z[35],
+        "dps": z[36],
+        "dslacks": z[37:43],
+        "p_col": z[43:61].reshape(NUM_LINK_SETS, 3),
+    }
+
+
+def _ref_err_of_z(k, zd, params, n: int, nr_segs: int):
     win = {
         "p_ref": params["p_ref"],
         "dp_ref": params["dp_ref"],
@@ -152,20 +204,122 @@ def _per_step_ref_err(params, traj, k, n: int, nr_segs: int):
         "v3": params["v3"],
     }
     ref = ref_fns.reference_function(
-        win, params["split_idx"], k, traj["p"][k], traj["v"][k], n, nr_segs
+        win, params["split_idx"], k, zd["p"], zd["v"], n, nr_segs
     )
     err = ref_fns.error_function(
-        ref,
-        params,
-        params["split_idx"],
-        k,
-        traj["p"][k],
-        traj["v"][k],
-        params["p0"][3:],
-        n,
-        nr_segs,
+        ref, params, params["split_idx"], k, zd["p"], zd["v"],
+        params["p0"][3:], n, nr_segs,
     )
     return ref, err
+
+
+def _step_local(k, z, params, cfg: MPCParams):
+    """Residuals and constraint rows of horizon step k from the packed
+    local inputs z (ref `casadi_ocp_formulation.py:266-334` +
+    `bound_mpc_functions.py:393-424` with sqrt-weights folded in)."""
+    n, nr_segs = cfg.n, cfg.nr_segs
+    w = params["weights"]
+    zd = unpack_z(z)
+    slacks = params["slacks0"] + zd["dslacks"]
+    ref, err = _ref_err_of_z(k, zd, params, n, nr_segs)
+
+    phi, dphi = ref["phi"], ref["dphi"]
+    sigm = 1.0 / (1.0 + jnp.exp(-60.0 * (phi - (params["phi_max"] - 0.05))))
+    v_orth = zd["v"] - dphi * ref["dp_d"]
+    one_norm = ref_fns.approx_one_norm(params["x_phi_d"][0] - phi)
+    r = jnp.concatenate(
+        [
+            sigm * err["e_r"],
+            sigm * err["e_p"],
+            jnp.sqrt(w[1]) * err["e_r_par"],
+            jnp.sqrt(w[2]) * v_orth[:3],
+            jnp.sqrt(w[3]) * v_orth[3:],
+            jnp.sqrt(w[6]) * zd["dq"][2:5],
+            jnp.sqrt(w[7]) * zd["u"],
+            jnp.sqrt(w[5]) * (params["x_phi_d"][1] - dphi)[None],
+            jnp.sqrt(w[4] * jnp.maximum(one_norm, 0.0) + 1e-14)[None],
+            jnp.sqrt(w[0]) * err["e_p"],
+            jnp.sqrt(w[1] / 50.0) * err["e_r_orth1"],
+            jnp.sqrt(w[1] / 50.0) * err["e_r_orth2"],
+            jnp.sqrt(w[9]) * zd["rs"][None],
+            jnp.sqrt(w[10]) * zd["drs"][None],
+            jnp.sqrt(w[9]) * zd["ps"][None],
+            jnp.sqrt(w[10]) * zd["dps"][None],
+        ]
+    )
+
+    rows = []
+    # EE position inside the current convex set (15)
+    rows.append(ref["a_current"] @ zd["p"][:3] - ref["b_current"] - zd["ps"])
+    # orientation bands (3 upper + 3 lower)
+    proj1 = jnp.dot(ref["br1_current"], err["e_r_orth1"])
+    proj_par = jnp.dot(ref["dp_normed_d"], err["e_r_par"])
+    proj2 = jnp.dot(ref["br2_current"], err["e_r_orth2"])
+    projs = jnp.stack([proj1, proj_par, proj2])
+    rows.append(projs - ref["r_bound_upper"] - zd["rs"])
+    rows.append(ref["r_bound_lower"] - projs - zd["rs"])
+    # 6 link collision sets at q_k (ref `:323-331` uses q[k]) (90)
+    link_rows = (
+        jnp.einsum("lri,li->lr", params["a_set_joints"], zd["p_col"])
+        - params["b_set_joints"]
+        - slacks[:NUM_LINK_SETS, None]
+    )
+    rows.append(link_rows.reshape(-1))
+    # phi within current segment (1)
+    rows.append((ref["phi"] - (ref["phi_end_seg"] + 0.005))[None])
+    return r, jnp.concatenate(rows)
+
+
+def _terminal_local(z, params, cfg: MPCParams):
+    """Terminal set/rotation constraint rows at k = N-1
+    (ref `casadi_ocp_formulation.py:337-380`)."""
+    n, nr_segs = cfg.n, cfg.nr_segs
+    kf = n - 1
+    zd = unpack_z(z)
+    slacks = params["slacks0"] + zd["dslacks"]
+    ref_f, err_f = _ref_err_of_z(kf, zd, params, n, nr_segs)
+    s_f = ref_fns.segment_index(kf, params["split_idx"], nr_segs)
+    p_end = params["p_ref"][s_f + 1][:3]
+    bnew = ref_f["b_next"] - ref_f["a_next"] @ p_end
+    anew = ref_f["a_next"] @ jnp.stack(
+        [ref_f["bp1_current"], ref_f["bp2_current"]], axis=1
+    )
+    z_proj = jnp.stack(
+        [
+            jnp.dot(ref_f["bp1_current"], err_f["e_p"]),
+            jnp.dot(ref_f["bp2_current"], err_f["e_p"]),
+        ]
+    )
+    g_term_set = anew @ z_proj - bnew - slacks[-1]
+
+    proj1n = jnp.dot(ref_f["br1_next"], err_f["e_r_orth1"])
+    proj_parn = jnp.dot(ref_f["dp_normed_n"], err_f["e_r_par"])
+    proj2n = jnp.dot(ref_f["br2_next"], err_f["e_r_orth2"])
+    projs_n = jnp.stack([proj1n, proj_parn, proj2n])
+    g_term_rot_u = projs_n - ref_f["r_bound_upper_next"] - slacks[-1]
+    g_term_rot_l = ref_f["r_bound_lower_next"] - projs_n - slacks[-1]
+    return jnp.concatenate([g_term_set, g_term_rot_u, g_term_rot_l])
+
+
+def local_inputs(traj, n: int):
+    """Packed z vectors for steps k = 1..N-1: (N-1, N_Z). The collision
+    frame positions are computed here (outside `_step_local`) so the
+    Jacobian path can chain them through dfk_col/dq."""
+    p_col = jax.vmap(kin.fk_pos_col_all)(traj["q"][1:])[:, :NUM_LINK_SETS]
+    dsl = jnp.broadcast_to(traj["dslacks"], (n - 1, 6))
+    return jax.vmap(pack_z)(
+        traj["q"][1:],
+        traj["dq"][1:],
+        traj["u"][1:],
+        traj["p"][1:],
+        traj["v"][1:],
+        traj["rslacks"][1:],
+        traj["drs"][1:],
+        traj["pslacks"][1:],
+        traj["dps"][1:],
+        dsl,
+        p_col,
+    )
 
 
 def evaluate(x, params, cfg: MPCParams):
@@ -187,57 +341,11 @@ def evaluate(x, params, cfg: MPCParams):
     dtype = x.dtype
     slacks = params["slacks0"] + traj["dslacks"]
 
-    def one_step(k):
-        ref, err = _per_step_ref_err(params, traj, k, n, nr_segs)
-        phi, dphi = ref["phi"], ref["dphi"]
-        sigm = 1.0 / (1.0 + jnp.exp(-60.0 * (phi - (params["phi_max"] - 0.05))))
-        v_orth = traj["v"][k] - dphi * ref["dp_d"]
-        one_norm = ref_fns.approx_one_norm(params["x_phi_d"][0] - phi)
-        r = jnp.concatenate(
-            [
-                sigm * err["e_r"],
-                sigm * err["e_p"],
-                jnp.sqrt(w[1]) * err["e_r_par"],
-                jnp.sqrt(w[2]) * v_orth[:3],
-                jnp.sqrt(w[3]) * v_orth[3:],
-                jnp.sqrt(w[6]) * traj["dq"][k][2:5],
-                jnp.sqrt(w[7]) * traj["u"][k],
-                jnp.sqrt(w[5]) * (params["x_phi_d"][1] - dphi)[None],
-                jnp.sqrt(w[4] * jnp.maximum(one_norm, 0.0) + 1e-14)[None],
-                jnp.sqrt(w[0]) * err["e_p"],
-                jnp.sqrt(w[1] / 50.0) * err["e_r_orth1"],
-                jnp.sqrt(w[1] / 50.0) * err["e_r_orth2"],
-                jnp.sqrt(w[9]) * traj["rslacks"][k][None],
-                jnp.sqrt(w[10]) * traj["drs"][k][None],
-                jnp.sqrt(w[9]) * traj["pslacks"][k][None],
-                jnp.sqrt(w[10]) * traj["dps"][k][None],
-            ]
-        )
-
-        rows = []
-        # EE position inside the current convex set (15)
-        rows.append(ref["a_current"] @ traj["p"][k][:3] - ref["b_current"] - traj["pslacks"][k])
-        # orientation bands (3 upper + 3 lower)
-        proj1 = jnp.dot(ref["br1_current"], err["e_r_orth1"])
-        proj_par = jnp.dot(ref["dp_normed_d"], err["e_r_par"])
-        proj2 = jnp.dot(ref["br2_current"], err["e_r_orth2"])
-        projs = jnp.stack([proj1, proj_par, proj2])
-        rows.append(projs - ref["r_bound_upper"] - traj["rslacks"][k])
-        rows.append(ref["r_bound_lower"] - projs - traj["rslacks"][k])
-        # 6 link collision sets at q_k (ref `:323-331` uses q[k]) (90)
-        p_col = kin.fk_pos_col_all(traj["q"][k])[:NUM_LINK_SETS]
-        link_rows = (
-            jnp.einsum("lri,li->lr", params["a_set_joints"], p_col)
-            - params["b_set_joints"]
-            - slacks[:NUM_LINK_SETS, None]
-        )
-        rows.append(link_rows.reshape(-1))
-        # phi within current segment (1)
-        rows.append((ref["phi"] - (ref["phi_end_seg"] + 0.005))[None])
-        return r, jnp.concatenate(rows)
-
+    zs = local_inputs(traj, n)
     ks = jnp.arange(1, n)
-    r_steps, g_steps = jax.vmap(one_step)(ks)
+    r_steps, g_steps = jax.vmap(
+        lambda k, z: _step_local(k, z, params, cfg)
+    )(ks, zs)
     r_steps = r_steps.reshape(-1)
     g_steps = g_steps.reshape(-1)
 
@@ -251,23 +359,7 @@ def evaluate(x, params, cfg: MPCParams):
     residuals = jnp.concatenate([r_steps, r_term])
 
     # --- terminal constraints at k = N-1 (ref `:337-380`) ---
-    kf = n - 1
-    ref_f, err_f = _per_step_ref_err(params, traj, kf, n, nr_segs)
-    s_f = ref_fns.segment_index(kf, params["split_idx"], nr_segs)
-    p_end = params["p_ref"][s_f + 1][:3]
-    bnew = ref_f["b_next"] - ref_f["a_next"] @ p_end
-    anew = ref_f["a_next"] @ jnp.stack([ref_f["bp1_current"], ref_f["bp2_current"]], axis=1)
-    z = jnp.stack(
-        [jnp.dot(ref_f["bp1_current"], err_f["e_p"]), jnp.dot(ref_f["bp2_current"], err_f["e_p"])]
-    )
-    g_term_set = anew @ z - bnew - slacks[-1]
-
-    proj1n = jnp.dot(ref_f["br1_next"], err_f["e_r_orth1"])
-    proj_parn = jnp.dot(ref_f["dp_normed_n"], err_f["e_r_par"])
-    proj2n = jnp.dot(ref_f["br2_next"], err_f["e_r_orth2"])
-    projs_n = jnp.stack([proj1n, proj_parn, proj2n])
-    g_term_rot_u = projs_n - ref_f["r_bound_upper_next"] - slacks[-1]
-    g_term_rot_l = ref_f["r_bound_lower_next"] - projs_n - slacks[-1]
+    g_term = _terminal_local(zs[-1], params, cfg)
 
     # --- state bounds for k=1..N-1 (lbx/ubx in the reference) ---
     dtype = x.dtype
@@ -296,9 +388,7 @@ def evaluate(x, params, cfg: MPCParams):
         ]
     )
 
-    constraints_all = jnp.concatenate(
-        [g_steps, g_term_set, g_term_rot_u, g_term_rot_l, g_bounds, g_slack]
-    )
+    constraints_all = jnp.concatenate([g_steps, g_term, g_bounds, g_slack])
     return residuals, constraints_all
 
 

@@ -1,0 +1,264 @@
+"""Manual chain-rule Jacobians for the condensed OCP.
+
+``jacfwd(evaluate)`` pushes n_vars (136) tangents through the ENTIRE
+evaluation — rollout scan, FK, reference/error math, and the (affine!)
+bound rows. This module exploits the problem structure instead:
+
+- q/dq/ddq/u and the slack trajectories are AFFINE in x with STATIC
+  sensitivity matrices (the jerk chain `casadi_ocp_formulation.py:106-120`
+  and trapezoid integrations `:121-141` have constant coefficients) —
+  computed once in numpy at trace time, contributing zero runtime AD.
+- the FK quantities (p_pos, v = J dq, collision-frame positions) are
+  differentiated per step w.r.t. q_k only: 7 tangents instead of 136.
+- the reference/error math (`ocp._step_local`) is differentiated w.r.t.
+  its 61 packed local inputs per step, vmapped over the horizon.
+- variable-bound and slack-nonnegativity rows get their exact static
+  Jacobians directly — no AD at all.
+
+The pieces compose into the full (residual, constraint) Jacobians with a
+few batched einsums (MXU work). Row order matches `ocp.evaluate` exactly;
+`tests/test_ocp_jac.py` verifies both values and Jacobians against
+``jacfwd(evaluate)`` in float64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MPCParams, NUM_LINK_SETS
+from ..robot import kinematics as kin
+from . import ocp
+
+NJ = ocp.NJ
+
+
+@functools.lru_cache(maxsize=None)
+def _static_sensitivities(n: int, dt: float):
+    """All constant sensitivity matrices for horizon length n.
+
+    Returns a dict of numpy arrays:
+      dq, ddq, dddq: (n, NJ, nx) — state sensitivities w.r.t. x
+      du:            (n, NJ, nx) — jerk rows (selectors; row 0 is zero)
+      w_trap:        (n, n-1)    — trapezoid weights over runtime rows
+                                   j=1..n-1 (column j-1) for iw integration
+      drs_traj, dps_traj: (n, nx) — integrated slack trajectories
+      ddrs, ddps:    (n, nx)     — slack-rate selectors
+      ddsl:          (6, nx)     — dslack selector
+    """
+    nx = ocp.n_vars(n)
+    o = NJ * (n - 1)
+
+    # scalar impulse responses of the jerk chain (per-joint identical)
+    cq = np.zeros((n, n))
+    cdq = np.zeros((n, n))
+    cddq = np.zeros((n, n))
+    for m in range(n):
+        u = np.zeros(n)
+        u[m] = 1.0
+        q = dq = ddq = 0.0
+        for k in range(n - 1):
+            q, dq, ddq = (
+                q + dt * dq + dt**2 / 2 * ddq + dt**3 / 8 * u[k] + dt**3 / 24 * u[k + 1],
+                dq + dt * ddq + dt**2 / 3 * u[k] + dt**2 / 6 * u[k + 1],
+                ddq + dt / 2 * (u[k] + u[k + 1]),
+            )
+            cq[k + 1, m] = q
+            cdq[k + 1, m] = dq
+            cddq[k + 1, m] = ddq
+
+    dq_s = np.zeros((n, NJ, nx))
+    ddq_s = np.zeros((n, NJ, nx))
+    dddq_s = np.zeros((n, NJ, nx))
+    du_s = np.zeros((n, NJ, nx))
+    for k in range(n):
+        for m in range(1, n):  # m = 0 is the measured jerk (parameter)
+            cols = NJ * (m - 1) + np.arange(NJ)
+            dq_s[k, np.arange(NJ), cols] = cq[k, m]
+            ddq_s[k, np.arange(NJ), cols] = cdq[k, m]
+            dddq_s[k, np.arange(NJ), cols] = cddq[k, m]
+        if k >= 1:
+            du_s[k, np.arange(NJ), NJ * (k - 1) + np.arange(NJ)] = 1.0
+
+    # trapezoid weights: f[k] = f0 + 0.5*dt*(g[0] + 2 g[1..k-1] + g[k])
+    w_full = np.zeros((n, n))
+    for k in range(1, n):
+        w_full[k, 0] = 0.5 * dt
+        w_full[k, k] = 0.5 * dt
+        w_full[k, 1:k] = dt
+    w_trap = w_full[:, 1:]  # runtime rows j = 1..n-1
+
+    drs_traj = np.zeros((n, nx))
+    dps_traj = np.zeros((n, nx))
+    ddrs = np.zeros((n, nx))
+    ddps = np.zeros((n, nx))
+    drs_traj[:, o + 6] = 1.0
+    dps_traj[:, o + 7 + n] = 1.0
+    for k in range(n):
+        drs_traj[k, o + 7 : o + 7 + n] = w_full[k]
+        dps_traj[k, o + 8 + n : o + 8 + 2 * n] = w_full[k]
+        ddrs[k, o + 7 + k] = 1.0
+        ddps[k, o + 8 + n + k] = 1.0
+    ddsl = np.zeros((6, nx))
+    ddsl[np.arange(6), o + np.arange(6)] = 1.0
+
+    return {
+        "dq": dq_s,
+        "ddq": ddq_s,
+        "dddq": dddq_s,
+        "du": du_s,
+        "w_trap": w_trap,
+        "drs_traj": drs_traj,
+        "dps_traj": dps_traj,
+        "ddrs": ddrs,
+        "ddps": ddps,
+        "ddsl": ddsl,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _static_bound_rows(n: int, dt: float):
+    """Exact Jacobian of the variable-bound + slack rows of
+    `ocp.evaluate` (all affine in x): (n_rows, nx) numpy constant."""
+    s = _static_sensitivities(n, dt)
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+    jq = flat(s["dq"][1:])
+    jdq = flat(s["ddq"][1:])
+    jddq = flat(s["dddq"][1:])
+    ju = flat(s["du"][1:])
+    g_bounds = np.concatenate([jq, -jq, jdq, -jdq, jddq, -jddq, ju, -ju])
+    g_slack = np.concatenate(
+        [-s["ddsl"], -s["drs_traj"], -s["ddrs"], -s["dps_traj"], -s["ddps"]]
+    )
+    return np.concatenate([g_bounds, g_slack])
+
+
+def _fk_bundle(q, dq):
+    """Per-step FK quantities whose q-derivatives the chain rule needs."""
+    return (
+        kin.fk_pos(q),
+        kin.jacobian_fk(q) @ dq,
+        kin.fk_pos_col_all(q)[:NUM_LINK_SETS],
+    )
+
+
+def evaluate_with_jac(x, params, cfg: MPCParams):
+    """(residuals, constraints, J_residuals, J_constraints) with the same
+    values and row order as `ocp.evaluate` + its ``jacfwd``."""
+    n = cfg.n
+    nx = ocp.n_vars(n)
+    dtype = x.dtype
+    w = params["weights"]
+    s = _static_sensitivities(n, cfg.dt)
+
+    traj = ocp.rollout(x, params, cfg)
+    zs = ocp.local_inputs(traj, n)
+    ks = jnp.arange(1, n)
+
+    # ---- values + per-step local Jacobians (61 tangents, vmapped) ----
+    r_steps, g_steps = jax.vmap(
+        lambda k, z: ocp._step_local(k, z, params, cfg)
+    )(ks, zs)
+    jr_z, jg_z = jax.vmap(
+        lambda k, z: jax.jacfwd(lambda zz: ocp._step_local(k, zz, params, cfg))(z)
+    )(ks, zs)
+
+    # ---- runtime FK derivative bundles (7 tangents, vmapped) ----
+    ap, hv, acol = jax.vmap(jax.jacfwd(_fk_bundle, argnums=0))(
+        traj["q"][1:], traj["dq"][1:]
+    )  # (n-1, 3, 7), (n-1, 6, 7), (n-1, 6, 3, 7)
+    jacs = jax.vmap(kin.jacobian_fk)(traj["q"][1:])  # (n-1, 6, 7)
+
+    dq_r = jnp.asarray(s["dq"][1:], dtype)       # (n-1, 7, nx)
+    ddq_r = jnp.asarray(s["ddq"][1:], dtype)
+    du_r = jnp.asarray(s["du"][1:], dtype)
+
+    dv = jnp.einsum("kij,kjx->kix", hv, dq_r) + jnp.einsum(
+        "kij,kjx->kix", jacs, ddq_r
+    )  # (n-1, 6, nx)
+    w_trap = jnp.asarray(s["w_trap"][1:], dtype)  # (n-1, n-1)
+    diw = jnp.einsum("kj,jax->kax", w_trap, dv[:, 3:, :])  # (n-1, 3, nx)
+    dp = jnp.concatenate([jnp.einsum("kij,kjx->kix", ap, dq_r), diw], axis=1)
+    dpcol = jnp.einsum("klij,kjx->klix", acol, dq_r).reshape(n - 1, 18, nx)
+
+    ddsl = jnp.asarray(s["ddsl"], dtype)
+    one = lambda a: jnp.asarray(a, dtype)[1:, None, :]  # (n-1, 1, nx)
+    dz = jnp.concatenate(
+        [
+            dq_r,
+            ddq_r,
+            du_r,
+            dp,
+            dv,
+            one(s["drs_traj"]),
+            one(s["ddrs"]),
+            one(s["dps_traj"]),
+            one(s["ddps"]),
+            jnp.broadcast_to(ddsl, (n - 1, 6, nx)),
+            dpcol,
+        ],
+        axis=1,
+    )  # (n-1, N_Z, nx)
+
+    jr_steps = jnp.einsum("krz,kzx->krx", jr_z, dz).reshape(-1, nx)
+    jg_steps = jnp.einsum("krz,kzx->krx", jg_z, dz).reshape(-1, nx)
+
+    # ---- terminal rows ----
+    g_term = ocp._terminal_local(zs[-1], params, cfg)
+    jg_term = jax.jacfwd(lambda zz: ocp._terminal_local(zz, params, cfg))(zs[-1])
+    jg_term = jg_term @ dz[-1]
+
+    # ---- terminal residuals (affine + v[N-1]) ----
+    slacks = params["slacks0"] + traj["dslacks"]
+    r_term = jnp.concatenate(
+        [
+            jnp.sqrt(w[8]) * slacks[jnp.array([0, 1, 2, 3, 5])],
+            jnp.sqrt(w[10]) * traj["dslacks"],
+            jnp.sqrt(jnp.asarray(100.0, dtype)) * traj["v"][n - 1],
+        ]
+    )
+    jr_term = jnp.concatenate(
+        [
+            jnp.sqrt(w[8]) * ddsl[jnp.array([0, 1, 2, 3, 5])],
+            jnp.sqrt(w[10]) * ddsl,
+            jnp.sqrt(jnp.asarray(100.0, dtype)) * dv[-1],
+        ]
+    )
+
+    # ---- affine bound/slack rows (values from evaluate's formulas) ----
+    from ..robot.model import DDQ_LIM, DQ_LIM, Q_LIM_LOWER, Q_LIM_UPPER, U_MAX, U_MIN
+
+    q_ub = jnp.asarray(Q_LIM_UPPER, dtype)
+    q_lb = jnp.asarray(Q_LIM_LOWER, dtype)
+    g_bounds = jnp.concatenate(
+        [
+            (traj["q"][1:] - q_ub).reshape(-1),
+            (q_lb - traj["q"][1:]).reshape(-1),
+            (traj["dq"][1:] - DQ_LIM).reshape(-1),
+            (-DQ_LIM - traj["dq"][1:]).reshape(-1),
+            (traj["ddq"][1:] - DDQ_LIM).reshape(-1),
+            (-DDQ_LIM - traj["ddq"][1:]).reshape(-1),
+            (traj["u"][1:] - U_MAX).reshape(-1),
+            (U_MIN - traj["u"][1:]).reshape(-1),
+        ]
+    )
+    g_slack = jnp.concatenate(
+        [
+            -traj["dslacks"],
+            -traj["rslacks"],
+            -traj["drs"],
+            -traj["pslacks"],
+            -traj["dps"],
+        ]
+    )
+    jg_static = jnp.asarray(_static_bound_rows(n, cfg.dt), dtype)
+
+    residuals = jnp.concatenate([r_steps.reshape(-1), r_term])
+    constraints = jnp.concatenate([g_steps.reshape(-1), g_term, g_bounds, g_slack])
+    j_res = jnp.concatenate([jr_steps, jr_term])
+    j_con = jnp.concatenate([jg_steps, jg_term, jg_static])
+    return residuals, constraints, j_res, j_con

@@ -16,13 +16,18 @@ import jax
 
 from ..config import MPCParams
 from ..ops.sqp import SQPResult, gauss_newton_sqp
-from . import ocp
+from . import ocp, ocp_jac
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
     return gauss_newton_sqp(
         eval_fn=lambda x: ocp.evaluate(x, params, cfg),
+        eval_jac_fn=(
+            (lambda x: ocp_jac.evaluate_with_jac(x, params, cfg))
+            if cfg.manual_jac
+            else None
+        ),
         x0=x0,
         iters=cfg.sqp_iters,
         qp_iters=cfg.qp_iters,

@@ -78,10 +78,12 @@ def solve_qp(
     eye_n = jnp.eye(n, dtype=dtype)
 
     def body(_, carry):
-        x, s, z, done = carry
-
-        r_d = p_mat @ x + q_vec + g_mat.T @ z           # dual residual
-        r_p = g_mat @ x + s - h_vec                      # primal residual
+        # r_p / r_d ride along recursively: the Newton rows give
+        # G dx + ds = -r_p and P dx + G^T dz = -r_d, so a combined step of
+        # length alpha scales both residuals by (1 - alpha) exactly — two
+        # full passes over G saved per iteration (G is the dominant HBM
+        # stream of the IPM at OCP sizes: (2439, 136) x batch).
+        x, s, z, r_p, r_d, done = carry
         mu = jnp.dot(s, z) / m
 
         w = z / s                                        # (m,)
@@ -127,6 +129,8 @@ def solve_qp(
         x_new = x + alpha * dx
         s_new = jnp.maximum(s + alpha * ds, 1e-14)
         z_new = jnp.maximum(z + alpha * dz, 1e-14)
+        r_p_new = (1.0 - alpha) * r_p + (s_new - (s + alpha * ds))
+        r_d_new = (1.0 - alpha) * r_d
 
         finite = (
             jnp.all(jnp.isfinite(x_new))
@@ -138,6 +142,8 @@ def solve_qp(
         x = jnp.where(keep, x, x_new)
         s = jnp.where(keep, s, s_new)
         z = jnp.where(keep, z, z_new)
+        r_p = jnp.where(keep, r_p, r_p_new)
+        r_d = jnp.where(keep, r_d, r_d_new)
         done = done | ~finite
 
         conv = (
@@ -145,10 +151,12 @@ def solve_qp(
             & (jnp.max(jnp.abs(r_d)) < tol)
             & (mu < tol)
         )
-        return x, s, z, done | conv
+        return x, s, z, r_p, r_d, done | conv
 
-    x, s, z, _ = jax.lax.fori_loop(
-        0, iters, body, (x, s, z, jnp.asarray(False))
+    r_p0 = g_mat @ x + s - h_vec
+    r_d0 = p_mat @ x + q_vec + g_mat.T @ z
+    x, s, z, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (x, s, z, r_p0, r_d0, jnp.asarray(False))
     )
 
     r_d = jnp.max(jnp.abs(p_mat @ x + q_vec + g_mat.T @ z))

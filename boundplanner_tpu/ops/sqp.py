@@ -43,7 +43,11 @@ def gauss_newton_sqp(
     pallas_kkt: bool = False,
     qp_solver: str = "ipm",
     admm_iters: int = 60,
+    eval_jac_fn=None,
 ) -> SQPResult:
+    """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
+    to ``eval_fn`` — a manual/structured Jacobian path (e.g.
+    `mpc.ocp_jac.evaluate_with_jac`). Defaults to ``jacfwd(eval_fn)``."""
     nu = jnp.asarray(merit_penalty, x0.dtype)
     n_x = x0.shape[0]
     eye = jnp.eye(n_x, dtype=x0.dtype)
@@ -57,8 +61,11 @@ def gauss_newton_sqp(
     def body(it, carry):
         x, lam, merit_prev, done, used = carry
 
-        r, g = eval_fn(x)
-        jr, jg = jac_fn(x)
+        if eval_jac_fn is not None:
+            r, g, jr, jg = eval_jac_fn(x)
+        else:
+            r, g = eval_fn(x)
+            jr, jg = jac_fn(x)
 
         grad = 2.0 * jr.T @ r
         hess = 2.0 * jr.T @ jr + lam * eye
