@@ -78,12 +78,17 @@ def solve_qp(
     eye_n = jnp.eye(n, dtype=dtype)
 
     def body(_, carry):
-        # r_p / r_d ride along recursively: the Newton rows give
-        # G dx + ds = -r_p and P dx + G^T dz = -r_d, so a combined step of
-        # length alpha scales both residuals by (1 - alpha) exactly — two
-        # full passes over G saved per iteration (G is the dominant HBM
-        # stream of the IPM at OCP sizes: (2439, 136) x batch).
-        x, s, z, r_p, r_d, done = carry
+        # r_p rides along recursively: the Newton row G dx + ds = -r_p
+        # holds EXACTLY as ds is constructed (-r_p - G dx), so a combined
+        # step of length alpha gives r_p_new = (1 - alpha) r_p up to the
+        # slack floor — one full pass over G saved per iteration (G is the
+        # dominant HBM stream of the IPM at OCP sizes: (2439, 136) x
+        # batch). The DUAL residual is recomputed exactly: its recursion
+        # would inherit the KKT solve error, which measurably degrades
+        # closed-loop quality in f32 (fleet success 1.00 -> 0.80/0.90 even
+        # with iterative refinement).
+        x, s, z, r_p, done = carry
+        r_d = p_mat @ x + q_vec + g_mat.T @ z
         mu = jnp.dot(s, z) / m
 
         w = z / s                                        # (m,)
@@ -107,6 +112,14 @@ def solve_qp(
         def solve_dx(r_c):
             rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)
             dx = l_inv.T @ (l_inv @ rhs)
+            # one iterative-refinement sweep against the exact KKT matrix:
+            # the recursive r_d update below relies on P dx + G^T dz = -r_d,
+            # which holds only as accurately as this solve (f32 explicit
+            # inverses leave ~1e-6 relative error — enough to corrupt the
+            # carried dual residual and the subsequent search directions).
+            # Refinement costs two (n, n) matvecs — no extra G traffic.
+            resid = rhs - kkt @ dx
+            dx = dx + l_inv.T @ (l_inv @ resid)
             ds = -r_p - g_mat @ dx
             dz = -(r_c + z * ds) / s
             return dx, ds, dz
@@ -130,7 +143,6 @@ def solve_qp(
         s_new = jnp.maximum(s + alpha * ds, 1e-14)
         z_new = jnp.maximum(z + alpha * dz, 1e-14)
         r_p_new = (1.0 - alpha) * r_p + (s_new - (s + alpha * ds))
-        r_d_new = (1.0 - alpha) * r_d
 
         finite = (
             jnp.all(jnp.isfinite(x_new))
@@ -143,7 +155,6 @@ def solve_qp(
         s = jnp.where(keep, s, s_new)
         z = jnp.where(keep, z, z_new)
         r_p = jnp.where(keep, r_p, r_p_new)
-        r_d = jnp.where(keep, r_d, r_d_new)
         done = done | ~finite
 
         conv = (
@@ -151,12 +162,11 @@ def solve_qp(
             & (jnp.max(jnp.abs(r_d)) < tol)
             & (mu < tol)
         )
-        return x, s, z, r_p, r_d, done | conv
+        return x, s, z, r_p, done | conv
 
     r_p0 = g_mat @ x + s - h_vec
-    r_d0 = p_mat @ x + q_vec + g_mat.T @ z
-    x, s, z, _, _, _ = jax.lax.fori_loop(
-        0, iters, body, (x, s, z, r_p0, r_d0, jnp.asarray(False))
+    x, s, z, _, _ = jax.lax.fori_loop(
+        0, iters, body, (x, s, z, r_p0, jnp.asarray(False))
     )
 
     r_d = jnp.max(jnp.abs(p_mat @ x + q_vec + g_mat.T @ z))

@@ -38,7 +38,8 @@ def random_scene(rng: np.random.Generator, n_obstacles: int = 3):
     return obstacles, goal
 
 
-def plan_scene(q0, goal, obstacles, seed: int, cfg: MPCParams, dtype=np.float32):
+def plan_scene(q0, goal, obstacles, seed: int, cfg: MPCParams, dtype=np.float32,
+               broker=None):
     """Plan one scene; returns (carry, obstacle arrays) or None on failure."""
     pose0 = np.array(kin.fk_pose(jnp.asarray(np.asarray(q0, np.float64))))
     p0 = pose0[:3]
@@ -50,6 +51,7 @@ def plan_scene(q0, goal, obstacles, seed: int, cfg: MPCParams, dtype=np.float32)
         workspace_max=[1.0, 0.38, 1.0],
         workspace_min=[-0.14, -1.0, 0.0],
         seed=seed,
+        broker=broker,
     )
     try:
         p_via, r_via, bp1_list, sets_via = planner.plan_convex_set_path(
@@ -101,3 +103,63 @@ def build_fleet(
     obs_b = jax.tree.map(lambda *xs: np.stack(xs), *obs_list)
     q0_b = np.broadcast_to(q0.astype(dtype), (batch, 7)).copy()
     return carry_b, q0_b, obs_b
+
+
+def build_fleet_threaded(
+    batch: int,
+    cfg: MPCParams,
+    q0=None,
+    n_obstacles: int = 3,
+    seed: int = 0,
+    dtype=np.float32,
+    n_threads: int = 8,
+    linger: float = 0.003,
+):
+    """Like `build_fleet`, but plans scenes on a thread pool whose
+    device-kernel calls coalesce through a `broker.BatchBroker` into
+    shared vmapped executions (BASELINE config 4: fleet planning
+    throughput). Returns (carry_b, q0_b, obs_b, broker) — the broker's
+    counters expose how much batching was achieved."""
+    import threading
+
+    from ..demo import DEMO_Q0
+    from ..planner import BoundPlanner
+    from .broker import BatchBroker, register_planner_kernels
+
+    q0 = DEMO_Q0.copy() if q0 is None else np.asarray(q0, float)
+    brk = BatchBroker(linger=linger)
+    register_planner_kernels(brk, max_set_size=20)
+
+    results = {}
+    lock = threading.Lock()
+    counter = {"draw": 0}
+
+    def worker():
+        while True:
+            with lock:
+                if len(results) >= batch or counter["draw"] >= batch * 4:
+                    return
+                counter["draw"] += 1
+                draw = counter["draw"]
+            rng_i = np.random.default_rng(seed + 1000 * draw)
+            obstacles, goal = random_scene(rng_i, n_obstacles)
+            out = plan_scene(
+                q0, goal, obstacles, seed + draw, cfg, dtype, broker=brk
+            )
+            if out is not None:
+                with lock:
+                    if len(results) < batch:
+                        results[draw] = out
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if len(results) < batch:
+        raise RuntimeError(f"only {len(results)}/{batch} scenes planned")
+    ordered = [results[k] for k in sorted(results)][:batch]
+    carry_b = jax.tree.map(lambda *xs: np.stack(xs), *[o[0] for o in ordered])
+    obs_b = jax.tree.map(lambda *xs: np.stack(xs), *[o[1] for o in ordered])
+    q0_b = np.broadcast_to(q0.astype(dtype), (batch, 7)).copy()
+    return carry_b, q0_b, obs_b, brk

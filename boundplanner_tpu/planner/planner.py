@@ -86,7 +86,13 @@ class BoundPlanner:
         workspace_min=(-1.0, -1.0, 0.0),
         seed: Optional[int] = None,
         verbose: bool = False,
+        broker=None,
     ):
+        # optional `parallel.broker.BatchBroker` (duck-typed): when set,
+        # the device-kernel wrappers below coalesce with other scenes'
+        # planners into shared vmapped calls (see
+        # `parallel.broker.register_planner_kernels`)
+        self.broker = broker
         self.params = PlannerParams(
             e_p_max=e_p_max,
             obs_size_increase=obs_size_increase,
@@ -143,6 +149,14 @@ class BoundPlanner:
     # device-kernel wrappers (numpy in / numpy out)
 
     def _find_set_around_point(self, p_seed, fixed_mid=False):
+        if self.broker is not None:
+            a, b, shape, center, ok = self.broker.call(
+                "fsap_mid" if fixed_mid else "fsap",
+                np.asarray(p_seed, float), self.obs_arrays,
+                self.ws_min, self.ws_max,
+            )
+            return (np.asarray(a), np.asarray(b), np.asarray(shape),
+                    np.asarray(center), bool(ok))
         a, b, shape, center, ok = find_set_around_point(
             jnp.asarray(np.asarray(p_seed, float)),
             self.obs_arrays,
@@ -160,21 +174,31 @@ class BoundPlanner:
         )
 
     def _find_set_line(self, p0, p1, compute_ellipsoid=False):
-        a, b, coll = find_set_line(
-            jnp.asarray(np.asarray(p0, float)),
-            jnp.asarray(np.asarray(p1, float)),
-            self.obs_arrays,
-            0.0,
-            self.ws_min,
-            self.ws_max,
-            limit_space=False,
-            n_rows=self.max_set_size,
-        )
-        a, b = np.asarray(a), np.asarray(b)
+        if self.broker is not None:
+            a, b, coll = self.broker.call(
+                "fsl", np.asarray(p0, float), np.asarray(p1, float),
+                self.obs_arrays, self.ws_min, self.ws_max,
+            )
+            a, b = np.asarray(a), np.asarray(b)
+        else:
+            a, b, coll = find_set_line(
+                jnp.asarray(np.asarray(p0, float)),
+                jnp.asarray(np.asarray(p1, float)),
+                self.obs_arrays,
+                0.0,
+                self.ws_min,
+                self.ws_max,
+                limit_space=False,
+                n_rows=self.max_set_size,
+            )
+            a, b = np.asarray(a), np.asarray(b)
         if compute_ellipsoid:
             from ..ops.mvie import mvie
 
-            res = mvie(jnp.asarray(a), jnp.asarray(b))
+            if self.broker is not None:
+                res = self.broker.call("mvie", a, b)
+            else:
+                res = mvie(jnp.asarray(a), jnp.asarray(b))
             return a, b, np.asarray(res.shape), np.asarray(res.center), bool(coll)
         return a, b, bool(coll)
 
@@ -184,7 +208,10 @@ class BoundPlanner:
         a = np.concatenate([set1[0], set2[0]])
         b = np.concatenate([set1[1], set2[1]])
         a_p, b_p = _pad(a, b - tol, FIT_ROWS)
-        x, t, _ = solve_feasibility(jnp.asarray(a_p), jnp.asarray(b_p))
+        if self.broker is not None:
+            x, t, _ = self.broker.call("feas", a_p, b_p)
+        else:
+            x, t, _ = solve_feasibility(jnp.asarray(a_p), jnp.asarray(b_p))
         success = bool(t < 1e-7)
         return np.asarray(x), [a, b], success
 
@@ -192,14 +219,21 @@ class BoundPlanner:
         """EE fits in the set for one of 20 rotation samples
         (ref `BoundPlanner.py:745-772`)."""
         a_p, b_p = _pad(a_set, b_set - 0.001, FIT_ROWS)
-        fits, omega, p_in = fit_ee_in_set(
-            jnp.asarray(a_p),
-            jnp.asarray(b_p),
-            jnp.asarray(l_ee),
-            jnp.asarray(self.omega_normed),
-            jnp.asarray(self.omega_norm),
-            jnp.asarray(np.asarray(sample, float)),
-        )
+        if self.broker is not None:
+            fits, omega, p_in = self.broker.call(
+                "fit_ee", a_p, b_p, np.asarray(l_ee, float),
+                np.asarray(self.omega_normed), np.asarray(self.omega_norm),
+                np.asarray(sample, float),
+            )
+        else:
+            fits, omega, p_in = fit_ee_in_set(
+                jnp.asarray(a_p),
+                jnp.asarray(b_p),
+                jnp.asarray(l_ee),
+                jnp.asarray(self.omega_normed),
+                jnp.asarray(self.omega_norm),
+                jnp.asarray(np.asarray(sample, float)),
+            )
         p_via = np.concatenate((np.asarray(sample, float), [float(omega)]))
         if bool(fits):
             p_via = np.concatenate((np.asarray(sample, float), [float(omega)]))
@@ -207,6 +241,9 @@ class BoundPlanner:
 
     def _project_into(self, a, b, target, x0=None):
         a_p, b_p = _pad(a, b, FIT_ROWS)
+        if self.broker is not None:
+            sol = self.broker.call("proj", a_p, b_p, np.asarray(target, float))
+            return np.asarray(sol.x)
         sol = solve_projection(
             jnp.asarray(a_p), jnp.asarray(b_p), jnp.asarray(np.asarray(target, float))
         )
