@@ -50,6 +50,9 @@ class MPCParams:
     # structured chain-rule OCP Jacobians (`mpc.ocp_jac`) instead of
     # jacfwd through the full evaluation — identical values, fewer tangents
     manual_jac: bool = False
+    # shift the warm start one control period (the reference re-uses the
+    # unshifted previous solution, `BoundMPC.py:412-428`)
+    warm_shift: bool = False
 
     def __post_init__(self):
         if not self.weights:

@@ -195,7 +195,11 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     params, path, win, proj = build_tick_params(carry, meas, obs, cfg)
 
     # 5) solve (warm start: previous decision vector, ref `:412-418`)
-    x0 = jnp.where(carry.has_prev, carry.x_prev, jnp.zeros_like(carry.x_prev))
+    x_warm = (
+        ocp.shift_warm_start(carry.x_prev, cfg) if cfg.warm_shift
+        else carry.x_prev
+    )
+    x0 = jnp.where(carry.has_prev, x_warm, jnp.zeros_like(carry.x_prev))
     sol = solve_sqp(x0, params, cfg)
 
     # 6) infeasibility fallback (ref `:619-645`)

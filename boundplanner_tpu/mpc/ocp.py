@@ -416,3 +416,30 @@ def n_constraints(cfg: MPCParams) -> int:
         + (n - 1) * NJ * 2
         + (6 + 4 * n)
     )
+
+
+def shift_warm_start(x, cfg: MPCParams):
+    """Advance a previous decision vector one control period for warm
+    starting: jerk and slack-rate sequences shift left one step (last
+    entry repeated), integrated slack offsets advance by one trapezoid
+    increment. The reference warm-starts with the UNSHIFTED previous
+    solution (`BoundMPC.py:412-428`); shifting aligns the guess with the
+    receding horizon and typically starts the SQP closer to the optimum.
+    """
+    n = cfg.n
+    dt = cfg.dt
+    o = NJ * (n - 1)
+    u = x[:o].reshape(n - 1, NJ)
+    u_s = jnp.concatenate([u[1:], u[-1:]], axis=0)
+    dslacks = x[o : o + 6]
+    rs0 = x[o + 6]
+    drs = x[o + 7 : o + 7 + n]
+    ps0 = x[o + 7 + n]
+    dps = x[o + 8 + n : o + 8 + 2 * n]
+    rs0_s = rs0 + 0.5 * dt * (drs[0] + drs[1])
+    ps0_s = ps0 + 0.5 * dt * (dps[0] + dps[1])
+    drs_s = jnp.concatenate([drs[1:], drs[-1:]])
+    dps_s = jnp.concatenate([dps[1:], dps[-1:]])
+    return jnp.concatenate(
+        [u_s.reshape(-1), dslacks, rs0_s[None], drs_s, ps0_s[None], dps_s]
+    )
