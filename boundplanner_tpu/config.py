@@ -53,6 +53,9 @@ class MPCParams:
     # shift the warm start one control period (the reference re-uses the
     # unshifted previous solution, `BoundMPC.py:412-428`)
     warm_shift: bool = False
+    # stream the QP constraint matrix in bfloat16 for search-direction
+    # products (f32 accumulation + refinement absorb the error)
+    qp_bf16: bool = False
 
     def __post_init__(self):
         if not self.weights:

@@ -37,4 +37,5 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         pallas_kkt=cfg.pallas_kkt,
         qp_solver=cfg.qp_solver,
         admm_iters=cfg.admm_iters,
+        qp_lowp=cfg.qp_bf16,
     )

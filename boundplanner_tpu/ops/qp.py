@@ -54,7 +54,7 @@ def _step_len(v, dv, tau=0.995):
     return jnp.minimum(1.0, tau * jnp.min(ratio))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "pallas_kkt"))
+@functools.partial(jax.jit, static_argnames=("iters", "pallas_kkt", "lowp"))
 def solve_qp(
     p_mat: jax.Array,
     q_vec: jax.Array,
@@ -65,15 +65,38 @@ def solve_qp(
     tol: float = 1e-9,
     reg: float = 1e-10,
     pallas_kkt: bool = False,
+    lowp: bool = False,
 ) -> QPSolution:
-    """Solve one dense QP; ``vmap`` over leading axes for batches."""
+    """Solve one dense QP; ``vmap`` over leading axes for batches.
+
+    ``lowp``: stream the constraint matrix in bfloat16 for the
+    SEARCH-DIRECTION products (rhs, G dx, Gram assembly) with float32
+    accumulation — halves the dominant HBM stream and quadruples the MXU
+    rate of the Gram product. Residual recomputation stays float32 exact;
+    the iterative-refinement sweep absorbs the direction error (inexact
+    Newton). Ignored for float64 inputs.
+    """
     n = q_vec.shape[0]
     m = h_vec.shape[0]
     dtype = q_vec.dtype
+    lowp = lowp and dtype == jnp.float32
 
     x = jnp.zeros(n, dtype) if x0 is None else x0
     s = jnp.maximum(h_vec - g_mat @ x, 1.0)
     z = jnp.ones(m, dtype)
+    g_dir = g_mat.astype(jnp.bfloat16) if lowp else g_mat
+
+    def gmv(v):      # G @ v with f32 accumulation
+        if lowp:
+            return jnp.matmul(g_dir, v.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        return g_mat @ v
+
+    def gtmv(v):     # G^T @ v with f32 accumulation
+        if lowp:
+            return jnp.matmul(g_dir.T, v.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        return g_mat.T @ v
 
     eye_n = jnp.eye(n, dtype=dtype)
 
@@ -92,7 +115,13 @@ def solve_qp(
         mu = jnp.dot(s, z) / m
 
         w = z / s                                        # (m,)
-        kkt = p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
+        if lowp:
+            gw = (g_dir * w[:, None].astype(jnp.bfloat16))
+            kkt = p_mat + jnp.matmul(
+                g_dir.T, gw, preferred_element_type=jnp.float32
+            ) + reg * eye_n
+        else:
+            kkt = p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
         # masked column-loop Cholesky: batches as fused VPU ops under vmap
         # (XLA's cho_factor custom-call serializes for small batched
         # matrices on TPU — it dominated the fused-tick profile). The
@@ -110,7 +139,7 @@ def solve_qp(
             l_inv = invert_lower(cholesky_masked(kkt))
 
         def solve_dx(r_c):
-            rhs = -r_d + g_mat.T @ ((r_c - z * r_p) / s)
+            rhs = -r_d + gtmv((r_c - z * r_p) / s)
             dx = l_inv.T @ (l_inv @ rhs)
             # one iterative-refinement sweep against the exact KKT matrix:
             # the recursive r_d update below relies on P dx + G^T dz = -r_d,
@@ -120,7 +149,7 @@ def solve_qp(
             # Refinement costs two (n, n) matvecs — no extra G traffic.
             resid = rhs - kkt @ dx
             dx = dx + l_inv.T @ (l_inv @ resid)
-            ds = -r_p - g_mat @ dx
+            ds = -r_p - gmv(dx)
             dz = -(r_c + z * ds) / s
             return dx, ds, dz
 
