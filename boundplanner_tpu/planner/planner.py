@@ -369,6 +369,18 @@ class BoundPlanner:
 
         nr_via = len(sets_inter)
         sol_x = None
+        # The rotation NLP packs exactly nr_via+1 via sets / size weights
+        # (the reference's fixed parameter layout assumes the same,
+        # `BoundPlanner.py:651-667`). Rare graph paths produce an extra
+        # set change at the terminal node; fall back to projection-based
+        # via points there instead of mis-packing (the reference would
+        # silently corrupt its parameter vector).
+        if len(w_size_via) != nr_via + 1:
+            self._log(
+                f"(PosOpt) irregular set chain ({len(w_size_via)} sizes for "
+                f"{nr_via} intersections); skipping rot NLP"
+            )
+            with_rot = False
         if with_rot and nr_via > 0:
             a_i = np.stack([_pad(s[0], s[1], FIT_ROWS)[0] for s in sets_inter])
             b_i = np.stack([_pad(s[0], s[1], FIT_ROWS)[1] for s in sets_inter])
