@@ -8,33 +8,68 @@ module adds real state checkpointing: the entire ``MPCCarry`` (including
 the PathState) is a flat pytree of arrays, so a control session can be
 snapshotted and resumed bit-exactly — including across processes and for
 whole batched fleets.
+
+Leaves are stored under their field names (``path.p``, ``x_prev``, ...)
+with a format version tag, so a checkpoint written before a field
+reordering either still loads correctly or fails loudly — never silently
+mis-assigns same-shaped leaves.
 """
 
 from __future__ import annotations
 
-import pathlib
-
 import numpy as np
-
-import jax
 
 from .mpc.bound_mpc import MPCCarry
 from .path.reference_path import PathState
 
+_FORMAT_VERSION = 2
+
+
+def _field_names():
+    names = []
+    for f in MPCCarry._fields:
+        if f == "path":
+            names.extend(f"path.{pf}" for pf in PathState._fields)
+        else:
+            names.append(f)
+    return names
+
 
 def save_carry(path, carry: MPCCarry):
     """Serialize an MPCCarry (single scene or batched fleet) to .npz."""
-    leaves, treedef = jax.tree.flatten(carry)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez(path, n_leaves=len(leaves), **arrays)
+    arrays = {}
+    for f in MPCCarry._fields:
+        val = getattr(carry, f)
+        if f == "path":
+            for pf in PathState._fields:
+                arrays[f"path.{pf}"] = np.asarray(getattr(val, pf))
+        else:
+            arrays[f] = np.asarray(val)
+    np.savez(path, __version__=_FORMAT_VERSION, **arrays)
 
 
 def load_carry(path) -> MPCCarry:
-    """Restore an MPCCarry saved by ``save_carry``."""
+    """Restore an MPCCarry saved by ``save_carry``.
+
+    Raises ``ValueError`` if the checkpoint's field set does not match the
+    current MPCCarry/PathState schema (e.g. written by a different code
+    version), instead of guessing a positional assignment.
+    """
     data = np.load(path)
-    n = int(data["n_leaves"])
-    leaves = [data[f"leaf_{i}"] for i in range(n)]
-    # rebuild the treedef from a structural template
-    ps_fields = len(PathState._fields)
-    path_state = PathState(*leaves[:ps_fields])
-    return MPCCarry(path_state, *leaves[ps_fields:])
+    version = int(data["__version__"]) if "__version__" in data else 1
+    if version != _FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format v{version} != supported v{_FORMAT_VERSION}"
+        )
+    expected = set(_field_names())
+    stored = {k for k in data.files if k != "__version__"}
+    if stored != expected:
+        missing = sorted(expected - stored)
+        extra = sorted(stored - expected)
+        raise ValueError(
+            f"checkpoint schema mismatch: missing fields {missing}, "
+            f"unknown fields {extra}"
+        )
+    path_state = PathState(**{pf: data[f"path.{pf}"] for pf in PathState._fields})
+    rest = {f: data[f] for f in MPCCarry._fields if f != "path"}
+    return MPCCarry(path=path_state, **rest)

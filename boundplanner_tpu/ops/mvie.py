@@ -109,6 +109,10 @@ def mvie(a_mat, b_vec, d0=None, stages: int = 7, newton_steps: int = 6) -> MVIER
         d0, margin0 = _chebyshev_center(a_mat, b_vec)
     else:
         margin0 = jnp.min(_margins(jnp.zeros((3, 3), dtype), d0, a_mat, b_vec, False, None))
+    # Containment invariant (ref `ConvexSetFinder.py:433-438` raises on
+    # violation): an infeasible seed must not return ok=True. The clamp
+    # below only keeps the barrier numerically defined.
+    seed_ok = margin0 > 0
     margin0 = jnp.maximum(margin0, 1e-6)
     row_norm = jnp.maximum(jnp.max(jnp.linalg.norm(a_mat, axis=1)), 1e-9)
     eps0 = 0.5 * margin0 / row_norm
@@ -129,7 +133,7 @@ def mvie(a_mat, b_vec, d0=None, stages: int = 7, newton_steps: int = 6) -> MVIER
     l_mat = _tri_to_mat(theta[:6])
     d = theta[6:]
     shape = l_mat @ l_mat.T
-    ok = jnp.all(jnp.isfinite(theta)) & jnp.all(theta[_DIAG_IDX] > 0)
+    ok = seed_ok & jnp.all(jnp.isfinite(theta)) & jnp.all(theta[_DIAG_IDX] > 0)
     return MVIEResult(shape=shape, center=d, gen=l_mat, ok=ok)
 
 
@@ -138,6 +142,7 @@ def mvie_fixed_mid(a_mat, b_vec, d_fixed, stages: int = 7, newton_steps: int = 6
     """MVIE with fixed center (ref `ConvexSetFinder.py:539-562`)."""
     dtype = b_vec.dtype
     margin0 = jnp.min(b_vec - a_mat @ d_fixed)
+    seed_ok = margin0 > 0  # containment invariant, see `mvie`
     margin0 = jnp.maximum(margin0, 1e-6)
     row_norm = jnp.maximum(jnp.max(jnp.linalg.norm(a_mat, axis=1)), 1e-9)
     eps0 = 0.5 * margin0 / row_norm
@@ -154,7 +159,7 @@ def mvie_fixed_mid(a_mat, b_vec, d_fixed, stages: int = 7, newton_steps: int = 6
     theta = _solve_barrier(theta0, objective, 6, stages, newton_steps)
     l_mat = _tri_to_mat(theta)
     shape = l_mat @ l_mat.T
-    ok = jnp.all(jnp.isfinite(theta)) & jnp.all(theta[_DIAG_IDX] > 0)
+    ok = seed_ok & jnp.all(jnp.isfinite(theta)) & jnp.all(theta[_DIAG_IDX] > 0)
     return MVIEResult(shape=shape, center=d_fixed, gen=l_mat, ok=ok)
 
 
@@ -167,6 +172,7 @@ def mvie_fixed_r(
     enforced with its own barrier term."""
     dtype = b_vec.dtype
     margin0 = jnp.min(b_vec - a_mat @ d_fixed)
+    seed_ok = margin0 > 0  # containment invariant, see `mvie`
     margin0 = jnp.maximum(margin0, 1e-6)
     row_norm = jnp.maximum(jnp.max(jnp.linalg.norm(a_mat, axis=1)), 1e-9)
     eps0 = 0.5 * margin0 / row_norm
@@ -184,5 +190,5 @@ def mvie_fixed_r(
     theta = _solve_barrier(e0, objective, 3, stages, newton_steps)
     l_mat = r_mat @ jnp.diag(theta)
     shape = l_mat @ l_mat.T
-    ok = jnp.all(jnp.isfinite(theta)) & jnp.all(theta > 0)
+    ok = seed_ok & jnp.all(jnp.isfinite(theta)) & jnp.all(theta > 0)
     return MVIEResult(shape=shape, center=d_fixed, gen=l_mat, ok=ok)

@@ -14,10 +14,11 @@ L rows < j').
 
 Returns L^{-1}; a solve is then two MXU matvecs.
 
-Integration status: validated building block (like `pallas_proj`); wiring
-it under the scene-vmap of the fused tick requires the explicit-batch QP
-refactor (ROUND2_NOTES.md #1) because the kernel already consumes the
-batch axis as lanes.
+Integration status: INTEGRATED. `ops.linalg.kkt_inverse` routes the scene
+vmap batch into this kernel wholesale through a
+`jax.custom_batching.custom_vmap` rule (`ops/linalg.py`); non-TPU, f64,
+and unbatched calls fall back to the masked column loop (bit-identical on
+CPU). Enabled by `MPCParams.pallas_kkt` (on in `config.perf_mpc_params`).
 """
 
 from __future__ import annotations

@@ -39,7 +39,10 @@ def _pad_pow2(batched, k: int, max_batch: int):
     target = 1
     while target < k:
         target *= 2
-    target = min(target, max_batch) if target <= max_batch else target
+    # Never compile beyond max_batch: the tunnel backend's compile time
+    # grows superlinearly with buffer sizes (CLAUDE.md). Callers split
+    # batches larger than max_batch into chunks before padding.
+    target = min(target, max_batch)
 
     def pad(leaf):
         if leaf.shape[0] == target:
@@ -96,16 +99,23 @@ class BatchBroker:
         with self._lock:
             batch = self._pending.pop(key)
         k = len(batch)
-        stacked = _stack([t.args for t in batch])
-        padded, _ = _pad_pow2(stacked, k, self.max_batch)
-        out = self._fns[key](*padded)
-        out_np = jax.tree.map(np.asarray, out)
+        # run in chunks of at most max_batch so the compiled batch sizes
+        # stay in a small, bounded set {1, 2, ..., max_batch}
+        n_runs = 0
+        for lo in range(0, k, self.max_batch):
+            chunk = batch[lo : lo + self.max_batch]
+            stacked = _stack([t.args for t in chunk])
+            padded, _ = _pad_pow2(stacked, len(chunk), self.max_batch)
+            out = self._fns[key](*padded)
+            out_np = jax.tree.map(np.asarray, out)
+            n_runs += 1
+            for i, t in enumerate(chunk):
+                t.result = jax.tree.map(lambda leaf: leaf[i], out_np)
         with self._lock:
-            self.batches_run += 1
+            self.batches_run += n_runs
             self.calls_served += k
-            self.coalesced_calls += k - 1
-        for i, t in enumerate(batch):
-            t.result = jax.tree.map(lambda leaf: leaf[i], out_np)
+            self.coalesced_calls += k - n_runs
+        for t in batch:
             if t is not ticket:
                 t.event.set()
         return ticket.result
