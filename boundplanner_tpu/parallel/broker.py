@@ -36,12 +36,14 @@ def _stack(args_list):
 
 
 def _pad_pow2(batched, k: int, max_batch: int):
-    target = 1
-    while target < k:
-        target *= 2
     # Never compile beyond max_batch: the tunnel backend's compile time
     # grows superlinearly with buffer sizes (CLAUDE.md). Callers split
     # batches larger than max_batch into chunks before padding.
+    if k > max_batch:
+        raise ValueError(f"batch of {k} exceeds max_batch={max_batch}; chunk first")
+    target = 1
+    while target < k:
+        target *= 2
     target = min(target, max_batch)
 
     def pad(leaf):
