@@ -1,128 +1,124 @@
 """Euler-spiral (clothoid) corner blending between linear path segments.
 
-Working re-implementation of `bound_planner/ReferencePath/euler_spiral.py`
-(which is bit-rotted in the reference snapshot: it imports a stale package
-name, `euler_spiral.py:7`, and its outputs are never consumed on the live
-branch — SURVEY.md §2.4). Provided as a functional component: a clothoid
-pair whose curvature ramps linearly up then down blends the kink between
-two unit directions v1 -> v2, C1-continuously.
+Functional equivalent of `bound_planner/ReferencePath/euler_spiral.py`
+(bit-rotted and unwired in the reference snapshot — SURVEY.md §2.4),
+derived independently rather than transcribed:
 
-Math: in the 2-D plane spanned by (v1, v2), a clothoid with curvature
-kappa(s) = 2 a s turns by theta(s) = a s^2; choosing a = theta_total /
-(2 L^2) over a half-length L and mirroring gives total turn theta_total
-with curvature continuous at the midpoint. The Fresnel integrals are
-evaluated by their power series (`eval_euler_spiral`, matching the
-reference series `euler_spiral.py:68-82`).
+A clothoid with curvature kappa(s) = 2*a*s has tangent angle
+alpha(s) = a*s^2 and position given by the Fresnel-type integral
+
+    F_a(s) = integral_0^s (cos(a t^2), sin(a t^2)) dt.
+
+To blend a corner between unit directions ``u`` (incoming) and ``w``
+(outgoing) with total turn ``theta``, run a clothoid of half-length L
+whose curvature ramps 0 -> kappa_max (turning theta/2), then its mirror
+image ramping back to 0 (turning the remaining theta/2). Choosing
+``a = theta / (2 L^2)`` makes alpha(L) = theta/2. By the mirror symmetry
+of the second half,
+
+    p(s) = F_a(s)                                  for s in [0, L]
+    p(s) = F_a(L) + R(theta) C (F_a(L) - F_a(2L-s)) for s in [L, 2L]
+
+with R(theta) the 2-D rotation and C = diag(1, -1): substituting
+t = 2L - s turns the second-half tangent (cos(theta - a t^2),
+sin(theta - a t^2)) into R(theta) C (cos(a t^2), sin(a t^2)).
+
+Placement is closed-form: with the blend start on the incoming line at
+distance d before the corner, the exit point must lie on the outgoing
+ray, i.e. p(2L) = (d, 0) + r (cos theta, sin theta) for some r >= 0.
+Two equations, two unknowns:
+
+    r = p_y(2L) / sin(theta),   d = p_x(2L) - r cos(theta).
+
+(The reference reaches the same point via an explicit projection +
+angle construction, `euler_spiral.py:45-58`.) F_a is evaluated with
+fixed-order Gauss-Legendre quadrature — vectorized over arc samples and
+accurate to ~1e-15 for the small turn angles of path corners, unlike a
+truncated Taylor series.
 """
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
-
-def _gram_schmidt(v, b):
-    return b - np.dot(v, b) * v
+_GL_NODES, _GL_WEIGHTS = np.polynomial.legendre.leggauss(24)
 
 
-def signed_angle(v1, v2):
-    """(ref `euler_spiral.py:10-13`)."""
-    return np.arctan2(v1[1], v1[0]) - np.arctan2(v2[1], v2[0])
+def eval_euler_spiral(a, s):
+    """Clothoid position F_a(s); ``s`` may be a scalar or an array.
+
+    Returns shape (..., 2): (integral cos(a t^2), integral sin(a t^2)).
+    """
+    s = np.asarray(s, float)
+    t = 0.5 * s[..., None] * (_GL_NODES + 1.0)  # map [-1, 1] -> [0, s]
+    ang = a * t * t
+    half_w = 0.5 * s[..., None] * _GL_WEIGHTS
+    return np.stack(
+        [np.sum(half_w * np.cos(ang), -1), np.sum(half_w * np.sin(ang), -1)],
+        axis=-1,
+    )
 
 
-def eval_euler_spiral(a, phi, terms: int = 10):
-    """Fresnel-series evaluation of the clothoid point at arc length phi
-    (ref `euler_spiral.py:68-82`)."""
-    int_cos = 0.0
-    int_sin = 0.0
-    for n in range(terms):
-        int_sin += (
-            (-1) ** n
-            * (a ** (2 * n + 1) * phi ** (4 * n + 3))
-            / (math.factorial(2 * n + 1) * (4 * n + 3))
-        )
-        int_cos += (a ** (2 * n) * (-(phi**4)) ** n) / (
-            math.factorial(2 * n) * (1 + 4 * n)
-        )
-    int_cos *= phi
-    return np.array([int_cos, int_sin])
+def _rot2(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    return np.array([[c, -s], [s, c]])
 
 
 def create_euler_spiral(v1, v2, length: float = 0.05):
-    """Clothoid blend parameters for the corner v1 -> v2
-    (ref `create_euler_sprial`, `euler_spiral.py:16-65`).
+    """Clothoid blend parameters for the corner v1 -> v2.
 
-    Returns (a, b, theta, rot_2d, offset, shortenings):
-      a, b      : curvature slopes of the two clothoid halves (b = -a)
-      theta     : half turn angle
-      rot_2d    : 2x3 projection onto the corner plane (rows: v1, v1-orth)
-      offset    : backset of the blend start along v1
-      shortenings : path-parameter corrections for the two adjacent segments
+    Returns ``(a, b, theta, plane, offset, shortenings)``:
+      a, b        : curvature slopes of the two halves (b = -a)
+      theta       : full corner turn angle, in (0, pi)
+      plane       : (2, 3) rows (u, u_perp) spanning the corner plane;
+                    local 2-D coords map back via ``plane.T @ xy``
+      offset      : blend start sits ``offset + length`` before the
+                    corner along v1
+      shortenings : arc-parameter corrections [d - L, r - L] for the
+                    incoming / outgoing segments (d, r = corner
+                    distances of the blend start / end)
     """
-    v1 = np.asarray(v1, float).copy()
-    v2 = np.asarray(v2, float).copy()
-    v1 /= np.linalg.norm(v1)
-    v2 /= np.linalg.norm(v2)
-    phi_b = 2.0 * length
+    u = np.asarray(v1, float)
+    w = np.asarray(v2, float)
+    u = u / np.linalg.norm(u)
+    w = w / np.linalg.norm(w)
 
-    if np.linalg.norm(v1 - v2) < 1e-3:
-        rot_2d = np.vstack((v1, v2))
-        return 0.0, 0.0, 0.0, rot_2d, 0.0, [0.0, 0.0]
+    if np.linalg.norm(u - w) < 1e-3:  # straight-through: nothing to blend
+        return 0.0, 0.0, 0.0, np.vstack((u, w)), 0.0, [0.0, 0.0]
 
-    v2_orth = _gram_schmidt(v1, v2)
-    v2_orth /= np.linalg.norm(v2_orth)
-    rot_2d = np.vstack((v1, v2_orth))
+    # orthonormal corner-plane frame with u_perp on w's side, so the
+    # local turn is always positive
+    u_perp = w - (u @ w) * u
+    u_perp = u_perp / np.linalg.norm(u_perp)
+    plane = np.vstack((u, u_perp))
+    theta = float(np.arctan2(u_perp @ w, u @ w))  # in (0, pi)
 
-    dl1 = rot_2d @ v1
-    dl2 = rot_2d @ v2
+    a = theta / (2.0 * length**2)  # alpha(L) = a L^2 = theta / 2
 
-    theta = -signed_angle(dl1, dl2)
-    a = (2.0 * theta) / (phi_b**2)
-    b = -a
-
-    # mirror the first half to obtain the end point of the full blend
-    p_via = length * dl1
+    # full-blend exit point from the mirror identity at s = 2L
     p_mid = eval_euler_spiral(a, length)
-    angle = theta + 2.0 * signed_angle(np.array([1.0, 0.0]), p_mid)
-    rot_mat = np.array(
-        [[np.cos(angle), -np.sin(angle)], [np.sin(angle), np.cos(angle)]]
-    )
-    p_end = p_mid + rot_mat @ p_mid
+    p_exit = p_mid + _rot2(theta) @ (p_mid * np.array([1.0, -1.0]))
 
-    # shift so the blend exits exactly on the outgoing linear segment
-    v_via_end = p_end - p_via
-    p_proj = p_via + np.dot(v_via_end, dl2) * dl2
-    angle_proj = np.pi - signed_angle(np.array([1.0, 0.0]), p_proj - p_end)
-    offset = np.linalg.norm(p_proj - p_end) / np.cos(angle_proj)
+    # closed-form placement on the corner's two rays
+    r_out = p_exit[1] / np.sin(theta)
+    d_in = p_exit[0] - r_out * np.cos(theta)
 
-    p_start = -dl1 * offset
-    p_end = p_end + p_start
-    lin_length1 = np.linalg.norm(p_start - p_via)
-    lin_length2 = np.linalg.norm(p_end - p_via)
-    shortenings = [lin_length1 - length, lin_length2 - length]
-
-    return a, b, theta, rot_2d, offset, shortenings
+    return a, -a, theta, plane, d_in - length, [d_in - length, r_out - length]
 
 
-def eval_blend(a, theta, rot_2d, offset, length, s, corner, v1, v2):
-    """Evaluate the blended 3-D path at arc parameter s in [0, 2*length]
-    measured from the blend start (placed ``offset + length`` before the
-    corner along v1). First half: clothoid with slope a; second half:
-    mirrored clothoid turning onto v2."""
-    v1 = np.asarray(v1, float) / np.linalg.norm(v1)
-    start = corner - (offset + length) * v1
-    basis = rot_2d  # rows map 2-D coords back through rot_2d.T
-    if s <= length:
-        p2 = eval_euler_spiral(a, s)
-    else:
-        # second half: curvature ramps down; tangent angle
-        # alpha(s) = theta - a (2L - s)^2, giving
-        # p(s) = p_mid + R(theta) C (F(L) - F(2L - s)), C = diag(1, -1)
-        p_mid = eval_euler_spiral(a, length)
-        rot_t = np.array(
-            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
-        )
-        conj = np.diag([1.0, -1.0])
-        p2 = p_mid + rot_t @ conj @ (p_mid - eval_euler_spiral(a, 2 * length - s))
-    return start + basis.T @ p2
+def eval_blend(a, theta, plane, offset, length, s, corner, v1, v2):
+    """Evaluate the blended 3-D path at arc parameter ``s`` in [0, 2L],
+    measured from the blend start (``offset + length`` before the corner
+    along v1). ``s`` may be a scalar or an array; returns (..., 3)."""
+    u = np.asarray(v1, float)
+    u = u / np.linalg.norm(u)
+    start = np.asarray(corner, float) - (offset + length) * u
+
+    s = np.asarray(s, float)
+    first = eval_euler_spiral(a, np.minimum(s, length))
+    p_mid = eval_euler_spiral(a, length)
+    tail = p_mid - eval_euler_spiral(a, np.clip(2.0 * length - s, 0.0, length))
+    mirror = _rot2(theta) * np.array([1.0, -1.0])  # R(theta) @ diag(1, -1)
+    second = p_mid + tail @ mirror.T
+    xy = np.where((s <= length)[..., None], first, second)
+    return start + xy @ plane
