@@ -41,19 +41,19 @@ def plot_via_path(p_via, r_via, sets_via, obs_sets):
     return ax
 
 
-def plot_graph(p0, p1, graph, inter_graph, obs_sets):
-    """(ref `visualization.py:23-39`)."""
+def plot_graph(p0, p1, roadmap, obs_sets):
+    """Plot a planner `SetRoadmap`: safe sets, junction anchors, obstacles
+    (ref `visualization.py:23-39`)."""
     import matplotlib.pyplot as plt
 
     fig = plt.figure()
     ax = fig.add_subplot(projection="3d")
     ax.plot(*p0, "go")
     ax.plot(*p1, "ro")
-    for _, nd in graph.nodes.items():
-        plot_set(ax, nd["a_set"], nd["b_set"], color="C0")
-    for _, nd in inter_graph.nodes.items():
-        if nd.get("p_proj") is not None:
-            ax.plot(*nd["p_proj"], "x", color="C2")
+    for s in roadmap.sets:
+        plot_set(ax, s.a, s.b, color="C0")
+    for j in roadmap.junctions:
+        ax.plot(*j.anchor, "x", color="C2")
     for s in obs_sets:
         plot_set(ax, s[0], s[1], color="C3")
     return ax

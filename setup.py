@@ -15,7 +15,6 @@ setup(
         "jax",
         "numpy",
         "scipy",
-        "networkx",
     ],
     extras_require={
         "viz": ["matplotlib"],

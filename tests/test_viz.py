@@ -29,13 +29,18 @@ def test_plot_via_path():
 
 def test_plot_graph():
     import matplotlib.pyplot as plt
-    import networkx as nx
 
-    g = nx.Graph()
+    from boundplanner_tpu.planner.roadmap import Junction, SafeSet, SetRoadmap
+
+    rm = SetRoadmap(w_size=1.0, w_bias=0.1, c_fit=10.0)
     s = box([0, 0, 0], 0.3)
-    g.add_node(0, a_set=s[0], b_set=s[1])
-    ig = nx.Graph()
-    ig.add_node(0, p_proj=np.zeros(3))
-    ax = plot_graph(np.zeros(3), np.ones(3), g, ig, [])
+    sid = rm.add_set(
+        SafeSet(a=s[0], b=s[1], volume=0.1, ellipsoid=np.eye(3), mid=np.zeros(3))
+    )
+    rm.add_junction(
+        Junction(a=s[0], b=s[1], owners=(sid, sid), anchor=np.zeros(3),
+                 via=np.zeros(4), fits=True)
+    )
+    ax = plot_graph(np.zeros(3), np.ones(3), rm, [])
     assert ax is not None
     plt.close("all")
