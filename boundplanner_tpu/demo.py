@@ -75,6 +75,28 @@ def demo_scene(cfg: MPCParams, dtype=np.float32, goal_offset=(0.0, -0.3, 0.0)):
     return carry, meas, obs, np.asarray(q0)
 
 
+def demo_fleet(cfg: MPCParams, batch: int, dtype=np.float32):
+    """A deterministic fleet of ``batch`` DISTINCT tracking scenes (each
+    with its own goal offset), stacked into batched numpy pytrees.
+
+    Used by the multi-process tests: distinct per-scene trajectories make
+    shard-feeding bugs (wrong slice, wrong order) observable.
+    Returns (carry_b, obs_b, q0_b)."""
+    carries, obses, q0s = [], [], []
+    for i in range(batch):
+        off = (0.05 * np.sin(2.1 * i), -0.2 - 0.15 * (i % 5) / 4.0, 0.04 * np.cos(1.3 * i))
+        carry, _, obs, q0 = demo_scene(cfg, dtype, goal_offset=off)
+        carries.append(carry)
+        obses.append(obs)
+        q0s.append(q0)
+    stack = lambda *xs: np.stack(xs)
+    return (
+        jax.tree.map(stack, *carries),
+        jax.tree.map(stack, *obses),
+        np.stack(q0s),
+    )
+
+
 def stack_scenes(carry, meas, obs, batch: int):
     """Replicate a single (numpy) scene into a batch (leading axis)."""
     tile = lambda x: np.broadcast_to(np.asarray(x), (batch,) + np.shape(x)).copy()
