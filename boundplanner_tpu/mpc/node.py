@@ -68,6 +68,17 @@ class MPCNode:
         self.t_current = 0.0
         self.k_current = 0
 
+    def reconfigure(self, params: MPCParams):
+        """Swap the MPC configuration at runtime and rebuild an idle MPC at
+        the current pose (the MPCParams.srv semantics,
+        `boundmpcmsg/srv/MPCParams.srv`; the reference rebuilds its solver
+        on param change, `BoundMPC.py:240-262`)."""
+        self.params = params
+        self.dt = params.dt
+        self.q0 = self.q.copy()
+        self.p0, _, _ = self.robot_model.forward_kinematics(self.q0, self.q0)
+        self.reset()
+
     def update_reference(self, p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets, obstacles):
         """New plan hand-off (ref `MPCNode.update_reference:82-104`)."""
         self.p0 = self.p_lie.copy()

@@ -19,13 +19,31 @@ import numpy as np
 
 from .utils.sets import polytope_vertices
 
-try:  # pragma: no cover - rclpy is not installed in the dev environment
-    import rclpy  # type: ignore
+def _import_ros():
+    """Resolve rclpy + message classes at call time (so tests can inject
+    fakes into sys.modules and real deployments pick up the ROS overlay).
+    Returns None when ROS 2 is not importable."""
+    try:
+        import rclpy  # type: ignore
+        from geometry_msgs.msg import Point  # type: ignore
+        from nav_msgs.msg import Path  # type: ignore
+        from sensor_msgs.msg import JointState  # type: ignore
+        from std_msgs.msg import String  # type: ignore
+        from visualization_msgs.msg import Marker, MarkerArray  # type: ignore
+    except Exception:
+        return None
+    return {
+        "rclpy": rclpy,
+        "Point": Point,
+        "Path": Path,
+        "JointState": JointState,
+        "String": String,
+        "Marker": Marker,
+        "MarkerArray": MarkerArray,
+    }
 
-    HAVE_ROS = True
-except Exception:  # pragma: no cover
-    rclpy = None
-    HAVE_ROS = False
+
+HAVE_ROS = _import_ros() is not None
 
 
 # ---------------------------------------------------------------------------
@@ -157,21 +175,123 @@ def mpc_data_dict(record) -> Dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# payload dict -> real ROS 2 message conversion
+# ---------------------------------------------------------------------------
+
+_MARKER_TYPES = {"TRIANGLE_LIST": 11, "SPHERE": 2}
+_MARKER_ACTIONS = {"ADD": 0, "DELETEALL": 3}
+
+
+def to_marker_msg(ros, d: Dict):
+    """visualization_msgs/Marker from a `set_marker`/`via_point_markers`
+    payload dict (the real-message half of the reference's
+    `RvizTools.create_marker_msg:71-96`)."""
+    m = ros["Marker"]()
+    m.header.frame_id = d.get("header", {}).get("frame_id", "world")
+    m.ns = d.get("ns", "")
+    m.id = int(d.get("id", 0))
+    m.action = _MARKER_ACTIONS[d.get("action", "ADD")]
+    if d.get("action", "ADD") == "DELETEALL":
+        return m
+    m.type = _MARKER_TYPES[d["type"]]
+    for axis in ("x", "y", "z"):
+        setattr(m.scale, axis, float(d["scale"][axis]))
+    for ch in ("r", "g", "b", "a"):
+        setattr(m.color, ch, float(d["color"][ch]))
+    pos = d.get("pose", {}).get("position")
+    if pos is not None:
+        m.pose.position.x, m.pose.position.y, m.pose.position.z = map(float, pos)
+    m.pose.orientation.w = 1.0
+    for p in d.get("points", ()):
+        pt = ros["Point"]()
+        pt.x, pt.y, pt.z = map(float, p)
+        m.points.append(pt)
+    return m
+
+
+def to_marker_array_msg(ros, dicts: Sequence[Dict]):
+    arr = ros["MarkerArray"]()
+    for d in dicts:
+        arr.markers.append(to_marker_msg(ros, d))
+    return arr
+
+
+def to_path_msg(ros, d: Dict):
+    """nav_msgs/Path from a `path_msg` payload dict."""
+    from geometry_msgs.msg import PoseStamped  # type: ignore
+
+    p = ros["Path"]()
+    p.header.frame_id = d.get("header", {}).get("frame_id", "world")
+    for pose in d.get("poses", ()):
+        ps = PoseStamped()
+        ps.header.frame_id = p.header.frame_id
+        pos = pose["position"]
+        ps.pose.position.x, ps.pose.position.y, ps.pose.position.z = map(
+            float, pos
+        )
+        ps.pose.orientation.w = 1.0
+        p.poses.append(ps)
+    return p
+
+
+def to_joint_state_msg(ros, d: Dict):
+    js = ros["JointState"]()
+    js.name = list(d["name"])
+    js.position = [float(v) for v in d["position"]]
+    return js
+
+
+def to_string_msg(ros, d: Dict):
+    import json
+
+    s = ros["String"]()
+    s.data = json.dumps(d)
+    return s
+
+
 class RosPublisher:
-    """Publishes telemetry/markers when ROS 2 is present; builds (and
-    returns) the payload dicts either way so callers/tests can inspect
-    them. API mirrors the reference RvizTools surface
-    (`RvizTools.py:13-101`, `RvizToolsMPC.py:13-174`)."""
+    """Publishes markers/paths/joint states/telemetry over real ROS 2
+    topics when rclpy is importable; builds and returns the payload dicts
+    either way so ROS-less callers/tests can inspect them. API mirrors the
+    reference RvizTools surface (`RvizTools.py:13-101`,
+    `RvizToolsMPC.py:13-174`); the MPCData telemetry goes out as a JSON
+    std_msgs/String (deviation: the `boundmpcmsg/msg/MPCData` IDL package
+    is a colcon artifact we do not ship; field names match the .msg)."""
+
+    TOPICS = {
+        "sets": ("/bound_planner/set_marker_array", "MarkerArray"),
+        "via": ("/bound_planner/via_marker_array", "MarkerArray"),
+        "collision": ("/bound_mpc/collision_marker_array", "MarkerArray"),
+        "planned": ("/bound_mpc/planned_traj", "Path"),
+        "reference": ("/bound_mpc/ref_traj", "Path"),
+        "joints": ("/joint_states", "JointState"),
+        "mpc_data": ("/bound_mpc/mpc_data", "String"),
+    }
 
     def __init__(self, node_name: str = "boundplanner_tpu"):
         self.active = False
-        if HAVE_ROS:  # pragma: no cover
-            rclpy.init()
+        self.ros = _import_ros()
+        self.pubs = {}
+        if self.ros is not None:
+            rclpy = self.ros["rclpy"]
+            if not rclpy.ok():
+                rclpy.init()
             self.node = rclpy.create_node(node_name)
+            for key, (topic, type_name) in self.TOPICS.items():
+                self.pubs[key] = self.node.create_publisher(
+                    self.ros[type_name], topic, 10
+                )
             self.active = True
+
+    def _publish(self, key: str, msg):
+        if self.active:
+            self.pubs[key].publish(msg)
 
     def publish_via_points(self, p_via, r_via):
         markers = via_point_markers(p_via)
+        if self.active:
+            self._publish("via", to_marker_array_msg(self.ros, markers))
         self._log(f"via points: {len(markers)}")
         return markers
 
@@ -181,32 +301,105 @@ class RosPublisher:
             m = set_marker(a, b, marker_id=i, color=color, alpha=alpha)
             if m is not None:
                 markers.append(m)
+        if self.active:
+            self._publish("sets", to_marker_array_msg(self.ros, markers))
         self._log(f"{len(markers) - 1} convex sets")
         return markers
 
     def publish_path(self, t, traj, ref):
         msgs = {"planned": path_msg(traj), "reference": path_msg(ref)}
+        if self.active:
+            self._publish("planned", to_path_msg(self.ros, msgs["planned"]))
+            self._publish("reference", to_path_msg(self.ros, msgs["reference"]))
         self._log(f"paths at t={t:.2f}")
         return msgs
 
     def publish_collision_spheres(self, centers, radii):
-        return collision_sphere_markers(centers, radii)
+        markers = collision_sphere_markers(centers, radii)
+        if self.active:
+            self._publish("collision", to_marker_array_msg(self.ros, markers))
+        return markers
 
     def publish_joint_state(self, q):
-        return joint_state_msg(q)
+        msg = joint_state_msg(q)
+        if self.active:
+            self._publish("joints", to_joint_state_msg(self.ros, msg))
+        return msg
 
     def publish_tick(self, record):
         """MPCData-equivalent telemetry (`boundmpcmsg/msg/MPCData.msg`)."""
         msg = mpc_data_dict(record)
+        if self.active:
+            self._publish("mpc_data", to_string_msg(self.ros, msg))
         self._log(f"phi={msg['phi']:.3f} t_comp={msg['t_comp'] * 1e3:.0f}ms")
         return msg
 
     def _log(self, text: str):
-        if self.active:  # pragma: no cover
+        if self.active:
             self.node.get_logger().info(text)
 
-    def shutdown(self):  # pragma: no cover
+    def shutdown(self):
         if self.active:
             self.node.destroy_node()
-            rclpy.shutdown()
+            self.ros["rclpy"].shutdown()
             self.active = False
+
+
+class MpcHostServices:
+    """Host-side equivalents of the reference's service surface
+    (`boundmpcmsg/srv/Trajectory.srv`, `srv/MPCParams.srv`): the same
+    request semantics exposed as plain methods on the running MPC node, so
+    non-ROS deployments (and tests) drive them directly. When the
+    `boundmpcmsg` IDL package is importable, `register` additionally wires
+    them up as real ROS 2 services on the publisher's node."""
+
+    def __init__(self, mpc_node):
+        self.mpc_node = mpc_node
+
+    # Trajectory.srv: new via-point plan hand-off -> MPC update
+    # (srv fields p_via/r_via/bp1/br1/e_r_*/a_set/b_set/obstacles,
+    #  `boundmpcmsg/srv/Trajectory.srv`)
+    def trajectory(self, p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets,
+                   obstacles=()):
+        self.mpc_node.update_reference(
+            p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets, list(obstacles)
+        )
+        return {"success": True}
+
+    # MPCParams.srv: runtime-tunable solver/horizon knobs
+    # (srv fields n/nr_segs/dt/weights, `boundmpcmsg/srv/MPCParams.srv`;
+    #  the build/simulate/use_acados flags have no analog here)
+    def mpc_params(self, **updates):
+        import dataclasses
+
+        params = dataclasses.replace(self.mpc_node.params, **updates)
+        self.mpc_node.reconfigure(params)
+        return {"success": True, "params": dataclasses.asdict(params)}
+
+    def register(self, publisher: RosPublisher):  # pragma: no cover - needs IDL pkg
+        try:
+            from boundmpcmsg.srv import MPCParams, Trajectory  # type: ignore
+        except Exception:
+            return False
+
+        def _traj_cb(req, resp):
+            vecs = lambda vs: [np.asarray(v.data, float) for v in vs]
+            out = self.trajectory(
+                vecs(req.p_via), vecs(req.r_via), vecs(req.bp1), vecs(req.br1),
+                vecs(req.e_r_start), vecs(req.a_set), vecs(req.b_set),
+                vecs(req.obstacles),
+            )
+            resp.success = out["success"]
+            return resp
+
+        def _params_cb(req, resp):
+            out = self.mpc_params(
+                n=int(req.n), dt=float(req.dt), nr_segs=int(req.nr_segs),
+                weights=tuple(float(w) for w in req.weights),
+            )
+            resp.success = out["success"]
+            return resp
+
+        publisher.node.create_service(Trajectory, "bound_mpc/trajectory", _traj_cb)
+        publisher.node.create_service(MPCParams, "bound_mpc/mpc_params", _params_cb)
+        return True

@@ -63,3 +63,157 @@ def test_mpc_data_fields():
     assert msg["iterations"] == 4
     assert msg["q"] == [0.0] * 7
     assert msg["e_p"] == [0.0] * 3
+
+
+# ---------------------------------------------------------------------------
+# real-publishing path, driven through an injected fake rclpy stack
+# ---------------------------------------------------------------------------
+
+import sys
+import types
+
+
+class _Obj:
+    """Attribute bag standing in for a generated ROS message."""
+
+    def __init__(self):
+        self.__dict__.update()
+
+    def __getattr__(self, name):
+        val = _Obj()
+        setattr(self, name, val)
+        return val
+
+
+def _msg_cls(list_fields=()):
+    def init(self):
+        for f in list_fields:
+            setattr(self, f, [])
+
+    return type("Msg", (_Obj,), {"__init__": init})
+
+
+class _FakePublisher:
+    def __init__(self):
+        self.published = []
+
+    def publish(self, msg):
+        self.published.append(msg)
+
+
+class _FakeNode:
+    def __init__(self):
+        self.pubs = []
+
+    def create_publisher(self, type_, topic, depth):
+        p = _FakePublisher()
+        p.topic, p.type_ = topic, type_
+        self.pubs.append(p)
+        return p
+
+    def get_logger(self):
+        class L:
+            def info(self, _):
+                pass
+
+        return L()
+
+    def destroy_node(self):
+        pass
+
+
+def _install_fake_ros(monkeypatch):
+    rclpy = types.ModuleType("rclpy")
+    rclpy._ok = False
+    rclpy.ok = lambda: rclpy._ok
+    node = _FakeNode()
+
+    def _init():
+        rclpy._ok = True
+
+    rclpy.init = _init
+    rclpy.shutdown = lambda: None
+    rclpy.create_node = lambda name: node
+
+    def msg_mod(name, **classes):
+        parent = types.ModuleType(name.split(".")[0])
+        mod = types.ModuleType(name)
+        for cname, cls in classes.items():
+            setattr(mod, cname, cls)
+        parent.msg = mod
+        monkeypatch.setitem(sys.modules, name.split(".")[0], parent)
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    monkeypatch.setitem(sys.modules, "rclpy", rclpy)
+    msg_mod("visualization_msgs.msg", Marker=_msg_cls(("points",)),
+            MarkerArray=_msg_cls(("markers",)))
+    msg_mod("geometry_msgs.msg", Point=_msg_cls(), PoseStamped=_msg_cls())
+    msg_mod("nav_msgs.msg", Path=_msg_cls(("poses",)))
+    msg_mod("sensor_msgs.msg", JointState=_msg_cls())
+    msg_mod("std_msgs.msg", String=_msg_cls())
+    return node
+
+
+def test_real_publishing_with_fake_rclpy(monkeypatch):
+    node = _install_fake_ros(monkeypatch)
+    pub = rc.RosPublisher()
+    assert pub.active
+    # publishers were created at construction, one per topic
+    assert {p.topic for p in node.pubs} == {t for t, _ in rc.RosPublisher.TOPICS.values()}
+
+    a, b = unit_box()
+    pub.publish_sets([(a, b)])
+    sets_pub = next(p for p in node.pubs if p.topic.endswith("set_marker_array"))
+    assert len(sets_pub.published) == 1
+    arr = sets_pub.published[0]
+    assert arr.markers[0].action == 3  # DELETEALL
+    add = arr.markers[1]
+    assert add.type == 11 and len(add.points) >= 36
+    assert abs(add.points[0].x) <= 0.5 + 1e-9
+
+    pub.publish_via_points([[0, 0, 0.5]], None)
+    via_pub = next(p for p in node.pubs if p.topic.endswith("via_marker_array"))
+    sphere = via_pub.published[0].markers[0]
+    assert sphere.type == 2 and sphere.pose.position.z == 0.5
+
+    pub.publish_path(0.0, [[0, 0, 0]], [[0.1, 0.2, 0.3]])
+    ref_pub = next(p for p in node.pubs if p.topic.endswith("ref_traj"))
+    assert ref_pub.published[0].poses[0].pose.position.z == 0.3
+
+    pub.publish_joint_state(np.arange(7.0))
+    js_pub = next(p for p in node.pubs if p.topic == "/joint_states")
+    assert js_pub.published[0].position == [float(i) for i in range(7)]
+
+    class Rec:
+        t_comp, phi, dphi, cost, sqp_iters, sector, fails = 0.01, 1.0, 0.1, 2.0, 3, 0, 0
+
+    pub.publish_tick(Rec())
+    import json
+    data_pub = next(p for p in node.pubs if p.topic.endswith("mpc_data"))
+    assert json.loads(data_pub.published[0].data)["iterations"] == 3
+
+    pub.shutdown()
+    assert not pub.active
+
+
+def test_host_services_drive_mpc_node():
+    calls = {}
+
+    class FakeNode:
+        from boundplanner_tpu.config import MPCParams
+
+        params = MPCParams()
+
+        def update_reference(self, *args):
+            calls["update"] = args
+
+        def reconfigure(self, params):
+            calls["params"] = params
+
+    svc = rc.MpcHostServices(FakeNode())
+    out = svc.trajectory([1], [2], [3], [4], [5], [6], [7], obstacles=[[0] * 6])
+    assert out["success"] and len(calls["update"]) == 8
+
+    out = svc.mpc_params(nr_segs=3)
+    assert out["success"]
+    assert calls["params"].nr_segs == 3 and out["params"]["nr_segs"] == 3
