@@ -141,3 +141,56 @@ def line_polytope_projection(a, b, p0, p1, interpret: bool = False):
     seg = p0[:bsz] + phi[:, None] * (p1[:bsz] - p0[:bsz])
     dist = jnp.linalg.norm(x - seg, axis=1)
     return x, phi, dist
+
+
+# ---------------------------------------------------------------------------
+# dispatch boundary: IPM exactness off-TPU, lane-batched kernel on TPU
+# ---------------------------------------------------------------------------
+
+
+def _seg_closest_ipm(a, b, p0, p1):
+    from .qp import solve_line_projection
+
+    def one(a_i, b_i, p0_i, p1_i):
+        x, phi, _ = solve_line_projection(a_i, b_i, p0_i, p1_i, iters=25)
+        return x, phi
+
+    return jax.vmap(one)(a, b, p0, p1)
+
+
+@jax.custom_batching.custom_vmap
+def seg_poly_closest(a, b, p0, p1):
+    """Closest pair between segments and polytopes, batched on the LEADING
+    axis: a (B, R, 3), b (B, R), p0/p1 (B, 3) -> (x (B, 3), phi (B,)).
+
+    On TPU float32 the whole batch runs in the all-VMEM Dykstra kernel
+    (`line_polytope_projection`); elsewhere (CPU tests, float64 planner
+    paths) it falls back to the exact vmapped IPM — bit-identical to the
+    pre-kernel behavior. Extra vmap levels (links, scenes) FOLD into the
+    kernel's lane axis via the batching rule below, which is what lets the
+    fused MPC tick's scene-vmap reach one big kernel launch instead of
+    B x 6 x 16 tiny IPM instances (the reference's per-tick hot loop,
+    `BoundMPC.py:480-498`, ran one qpOASES solve per instance).
+    """
+    backend = jax.default_backend()
+    if backend in ("tpu", "axon") and a.dtype == jnp.float32:
+        x, phi, _ = line_polytope_projection(a, b, p0, p1)
+        return x, phi
+    return _seg_closest_ipm(a, b, p0, p1)
+
+
+@seg_poly_closest.def_vmap
+def _seg_poly_closest_vmap_rule(axis_size, in_batched, a, b, p0, p1):
+    # broadcast any unbatched operand, fold the vmap axis into the problem
+    # axis, recurse (the recursive call is not itself being vmapped, so it
+    # lands in the base case — or folds again under an outer vmap level)
+    ops = []
+    for x, batched in zip((a, b, p0, p1), in_batched):
+        if not batched:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        ops.append(x.reshape((axis_size * x.shape[1],) + x.shape[2:]))
+    x_flat, phi_flat = seg_poly_closest(*ops)
+    return (
+        (x_flat.reshape(axis_size, -1, 3), phi_flat.reshape(axis_size, -1)),
+        (True, True),
+    )

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.qp import solve_qp, solve_line_projection
+from ..ops.qp import solve_qp
+from ..ops.pallas_proj import seg_poly_closest
 from ..ops.mvie import mvie, mvie_fixed_mid
 from ..utils.sets import box_vertices, make_box
 
@@ -171,13 +172,18 @@ def find_set_line(
     else:
         a_init, b_init = _init_rows_workspace(ws_min, ws_max, dtype)
 
-    # Closest obstacle point to the segment, per obstacle (batched QP;
-    # ref `compute_set_projs_line`, `ConvexSetFinder.py:491-510`)
-    def proj_one(a_ob, b_ob):
-        x, phi, _ = solve_line_projection(a_ob, b_ob - 0.001, p0, p1, iters=25)
-        return x, phi
-
-    xs, phis = jax.vmap(proj_one)(obs.a, obs.b)           # (M,3), (M,)
+    # Closest obstacle point to the segment, per obstacle (batched;
+    # ref `compute_set_projs_line`, `ConvexSetFinder.py:491-510`). The
+    # custom_vmap boundary routes TPU-f32 batches — including every outer
+    # link/scene vmap level of the fused MPC tick — into the all-VMEM
+    # Pallas Dykstra kernel; other backends keep the exact IPM.
+    m = obs.a.shape[0]
+    xs, phis = seg_poly_closest(
+        obs.a,
+        obs.b - 0.001,
+        jnp.broadcast_to(p0, (m, 3)),
+        jnp.broadcast_to(p1, (m, 3)),
+    )                                                     # (M,3), (M,)
     seg_pts = p0[None, :] + phis[:, None] * (p1 - p0)[None, :]
     dists = jnp.linalg.norm(xs - seg_pts, axis=1)
 

@@ -61,3 +61,46 @@ def test_inside_segment():
         interpret=True,
     )
     assert float(dist[0]) < 1e-4
+
+
+def test_seg_poly_closest_folds_nested_vmaps(rng):
+    """The custom_vmap boundary must fold (scene, link, obstacle) axes into
+    one problem batch; on CPU the base case is the exact IPM, so nested
+    vmaps must agree with direct per-problem solves."""
+    from boundplanner_tpu.ops.pallas_proj import seg_poly_closest
+
+    a, b, p0, p1 = make_batch(rng, bsz=12)
+    a = jnp.asarray(a.reshape(2, 3, 2, 15, 3))
+    b = jnp.asarray(b.reshape(2, 3, 2, 15))
+    p0 = jnp.asarray(p0.reshape(2, 3, 2, 3))
+    p1 = jnp.asarray(p1.reshape(2, 3, 2, 3))
+
+    x_n, phi_n = jax.vmap(jax.vmap(seg_poly_closest))(a, b, p0, p1)
+    assert x_n.shape == (2, 3, 2, 3) and phi_n.shape == (2, 3, 2)
+
+    x_f, phi_f = seg_poly_closest(
+        a.reshape(-1, 15, 3), b.reshape(-1, 15), p0.reshape(-1, 3),
+        p1.reshape(-1, 3),
+    )
+    np.testing.assert_allclose(np.asarray(x_n).reshape(-1, 3), np.asarray(x_f),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(phi_n).reshape(-1), np.asarray(phi_f),
+                               atol=1e-12)
+
+
+def test_seg_poly_closest_broadcasts_unbatched_operands(rng):
+    """Outer vmap over scenes where the segment endpoints are shared
+    (unbatched) must broadcast correctly in the fold rule."""
+    from boundplanner_tpu.ops.pallas_proj import seg_poly_closest
+
+    a, b, p0, p1 = make_batch(rng, bsz=8)
+    a = jnp.asarray(a.reshape(2, 4, 15, 3))
+    b = jnp.asarray(b.reshape(2, 4, 15))
+    p0s = jnp.asarray(p0[:4])
+    p1s = jnp.asarray(p1[:4])
+
+    x_v, phi_v = jax.vmap(lambda aa, bb: seg_poly_closest(aa, bb, p0s, p1s))(a, b)
+    for i in range(2):
+        x_d, phi_d = seg_poly_closest(a[i], b[i], p0s, p1s)
+        np.testing.assert_allclose(np.asarray(x_v[i]), np.asarray(x_d), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(phi_v[i]), np.asarray(phi_d), atol=1e-12)
