@@ -56,6 +56,13 @@ class MPCParams:
     # stream the QP constraint matrix in bfloat16 for search-direction
     # products (f32 accumulation + refinement absorb the error)
     qp_bf16: bool = False
+    # refresh the IPM KKT factorization only every k-th iteration; frozen
+    # iterations reuse the stale factor with extra implicit-operator
+    # refinement. EXPERIMENTAL, NEGATIVE RESULT at OCP scale: the stale
+    # preconditioner does not contract when w = z/s moves fast (CPU
+    # obstacle gate: 8 infeasibility fallbacks vs 0, 44 ticks vs 38 at
+    # kkt_every=2) — keep 1 unless re-gated
+    kkt_every: int = 1
 
     def __post_init__(self):
         if not self.weights:

@@ -38,4 +38,5 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         qp_solver=cfg.qp_solver,
         admm_iters=cfg.admm_iters,
         qp_lowp=cfg.qp_bf16,
+        kkt_every=cfg.kkt_every,
     )

@@ -33,9 +33,33 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128  # mandated by Mosaic block-shape rules for the lane dim
 
 
+def _row_blocks(n: int):
+    """Split the row axis into up to 4 static blocks (multiples of 8 where
+    possible) so each loop phase touches only the blocks it can change."""
+    if n < 32:
+        return ((0, n),)
+    s = max(8, (n // 4) // 8 * 8)
+    blocks = []
+    start = 0
+    while len(blocks) < 3 and start + s < n:
+        blocks.append((start, s))
+        start += s
+    blocks.append((start, n - start))
+    return tuple(blocks)
+
+
 def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
     """One tile of LANES problems; a_ref (n, n, LANES) is the only VMEM
-    buffer: K -> L (in place) -> L^{-1} (in place), then DMA'd out."""
+    buffer: K -> L (in place) -> L^{-1} (in place), then DMA'd out.
+
+    Both sweeps run in phases over static row blocks: while column j is
+    being eliminated, only rows > j change, and while inverse row j is
+    being formed, only rows < j are read — so phase p of the
+    factorization skips row blocks entirely below its column range and
+    phase p of the inversion skips row blocks entirely above it
+    (masked-zero contributions either way; skipping is exact). This cuts
+    the VPU work of the full-matrix masked updates by ~37% and keeps
+    every temporary at block size (VMEM budget)."""
     i = pl.program_id(0)
     tile = pl.ds(i * LANES, LANES)
     dma_in = pltpu.make_async_copy(k_hbm_ref.at[:, :, tile], a_ref, sem)
@@ -45,16 +69,13 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-    # whole-buffer value updates materialize an (n, n, L) temporary that
-    # blows the 16 MB VMEM budget; process row-halves instead
-    half = n // 2
-    halves = ((0, half), (half, n - half))
-    row_ids_h = [
-        jax.lax.broadcasted_iota(jnp.int32, (hn, 1, 1), 0) + h0
-        for h0, hn in halves
-    ]
+    blocks = _row_blocks(n)
+    row_ids_b = {
+        h0: jax.lax.broadcasted_iota(jnp.int32, (hn, 1, 1), 0) + h0
+        for h0, hn in blocks
+    }
 
-    def chol_step(j, _):
+    def chol_step(j, _, upd_blocks):
         col = out_ref[:, pl.ds(j, 1), :]                    # (n, 1, L)
         onehot_c = (row_ids == j).astype(col.dtype)
         d = jnp.sqrt(
@@ -63,15 +84,20 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
         colb = jnp.where(row_ids > j, col / d, 0.0)
         row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
         rowb = jnp.where(col_ids > j, row / d, 0.0)
-        for (h0, hn) in halves:                             # trailing update
+        for (h0, hn) in upd_blocks:                         # trailing update
             blk = out_ref[pl.ds(h0, hn), :, :]
             out_ref[pl.ds(h0, hn), :, :] = blk - colb[h0 : h0 + hn] * rowb
         out_ref[:, pl.ds(j, 1), :] = colb + onehot_c * d    # store L column j
         return 0
 
-    jax.lax.fori_loop(0, n, chol_step, 0)
+    for p, (h0, hn) in enumerate(blocks):
+        # columns j in [h0, h0+hn): rows <= h0 <= j never change
+        jax.lax.fori_loop(
+            h0, h0 + hn,
+            functools.partial(chol_step, upd_blocks=blocks[p:]), 0,
+        )
 
-    def inv_step(j, _):
+    def inv_step(j, _, read_blocks):
         row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
         onehot_r = (col_ids == j).astype(row.dtype)
         d = jnp.sum(row * onehot_r, axis=1, keepdims=True)  # (1, 1, L)
@@ -79,14 +105,19 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
         lrow_t = jnp.transpose(lrow, (1, 0, 2))             # (n, 1, L)
         # rows k < j of out_ref already hold X rows; rows >= j unused here
         s = 0.0
-        for hi, (h0, hn) in enumerate(halves):
+        for (h0, hn) in read_blocks:
             blk = out_ref[pl.ds(h0, hn), :, :]
-            masked = jnp.where(row_ids_h[hi] < j, blk, 0.0)
+            masked = jnp.where(row_ids_b[h0] < j, blk, 0.0)
             s = s + jnp.sum(lrow_t[h0 : h0 + hn] * masked, axis=0, keepdims=True)
         out_ref[pl.ds(j, 1), :, :] = (onehot_r - s) / d
         return 0
 
-    jax.lax.fori_loop(0, n, inv_step, 0)
+    for p, (h0, hn) in enumerate(blocks):
+        # rows j in [h0, h0+hn): X rows live strictly below j
+        jax.lax.fori_loop(
+            h0, h0 + hn,
+            functools.partial(inv_step, read_blocks=blocks[: p + 1]), 0,
+        )
 
     dma_out = pltpu.make_async_copy(a_ref, out_hbm_ref.at[:, :, tile], sem)
     dma_out.start()

@@ -54,7 +54,9 @@ def _step_len(v, dv, tau=0.995):
     return jnp.minimum(1.0, tau * jnp.min(ratio))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "pallas_kkt", "lowp"))
+@functools.partial(
+    jax.jit, static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every")
+)
 def solve_qp(
     p_mat: jax.Array,
     q_vec: jax.Array,
@@ -66,6 +68,7 @@ def solve_qp(
     reg: float = 1e-10,
     pallas_kkt: bool = False,
     lowp: bool = False,
+    kkt_every: int = 1,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -75,6 +78,16 @@ def solve_qp(
     rate of the Gram product. Residual recomputation stays float32 exact;
     the iterative-refinement sweep absorbs the direction error (inexact
     Newton). Ignored for float64 inputs.
+
+    ``kkt_every``: refresh the KKT factorization only every k-th IPM
+    iteration; in between, the stale factor serves as a preconditioner and
+    extra iterative-refinement sweeps against the EXACT current KKT
+    operator (applied implicitly: P v + G^T(w (G v)) — no Gram assembly)
+    restore direction accuracy. The factorization + Gram are the dominant
+    per-iteration work at OCP sizes, so k=2 removes ~half of it; the
+    refinement converges as long as the diagonal scaling w = z/s moved
+    less than the (regularized) spectrum allows — gated on closed-loop
+    quality like every solver knob.
     """
     n = q_vec.shape[0]
     m = h_vec.shape[0]
@@ -100,7 +113,20 @@ def solve_qp(
 
     eye_n = jnp.eye(n, dtype=dtype)
 
-    def body(_, carry):
+    def assemble_kkt(w):
+        if lowp:
+            gw = (g_dir * w[:, None].astype(jnp.bfloat16))
+            return p_mat + jnp.matmul(
+                g_dir.T, gw, preferred_element_type=jnp.float32
+            ) + reg * eye_n
+        return p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
+
+    def factorize(kkt):
+        if pallas_kkt:
+            return kkt_inverse(kkt)
+        return invert_lower(cholesky_masked(kkt))
+
+    def body(it, carry):
         # r_p rides along recursively: the Newton row G dx + ds = -r_p
         # holds EXACTLY as ds is constructed (-r_p - G dx), so a combined
         # step of length alpha gives r_p_new = (1 - alpha) r_p up to the
@@ -110,18 +136,14 @@ def solve_qp(
         # would inherit the KKT solve error, which measurably degrades
         # closed-loop quality in f32 (fleet success 1.00 -> 0.80/0.90 even
         # with iterative refinement).
-        x, s, z, r_p, done = carry
+        if kkt_every == 1:
+            x, s, z, r_p, done = carry
+        else:
+            x, s, z, r_p, done, l_inv = carry
         r_d = p_mat @ x + q_vec + g_mat.T @ z
         mu = jnp.dot(s, z) / m
 
         w = z / s                                        # (m,)
-        if lowp:
-            gw = (g_dir * w[:, None].astype(jnp.bfloat16))
-            kkt = p_mat + jnp.matmul(
-                g_dir.T, gw, preferred_element_type=jnp.float32
-            ) + reg * eye_n
-        else:
-            kkt = p_mat + (g_mat.T * w) @ g_mat + reg * eye_n
         # masked column-loop Cholesky: batches as fused VPU ops under vmap
         # (XLA's cho_factor custom-call serializes for small batched
         # matrices on TPU — it dominated the fused-tick profile). The
@@ -133,22 +155,42 @@ def solve_qp(
         # traffic saved by MXU trailing updates. The column loop stays;
         # with pallas_kkt, batches route to the all-VMEM Pallas kernel via
         # a custom_vmap rule (linalg.kkt_inverse).
-        if pallas_kkt:
-            l_inv = kkt_inverse(kkt)
+        if kkt_every == 1:
+            kkt = assemble_kkt(w)
+            l_inv = factorize(kkt)
+
+            def kkt_mv(v):
+                return kkt @ v
+
+            n_refine = 1
         else:
-            l_inv = invert_lower(cholesky_masked(kkt))
+            # frozen-factor mode: the factorization (and the Gram behind
+            # it) refreshes only on it % kkt_every == 0; refinement runs
+            # against the exact CURRENT KKT applied implicitly (two G
+            # passes per sweep — no Gram assembly on frozen iterations).
+            l_inv = jax.lax.cond(
+                it % kkt_every == 0,
+                lambda: factorize(assemble_kkt(w)),
+                lambda: l_inv,
+            )
+
+            def kkt_mv(v):
+                return p_mat @ v + gtmv(w * gmv(v)) + reg * v
+
+            n_refine = 2
 
         def solve_dx(r_c):
             rhs = -r_d + gtmv((r_c - z * r_p) / s)
             dx = l_inv.T @ (l_inv @ rhs)
-            # one iterative-refinement sweep against the exact KKT matrix:
+            # iterative-refinement sweeps against the exact KKT operator:
             # the recursive r_d update below relies on P dx + G^T dz = -r_d,
             # which holds only as accurately as this solve (f32 explicit
             # inverses leave ~1e-6 relative error — enough to corrupt the
-            # carried dual residual and the subsequent search directions).
-            # Refinement costs two (n, n) matvecs — no extra G traffic.
-            resid = rhs - kkt @ dx
-            dx = dx + l_inv.T @ (l_inv @ resid)
+            # carried dual residual and the subsequent search directions;
+            # a stale factor leaves far more, hence the extra sweep).
+            for _ in range(n_refine):
+                resid = rhs - kkt_mv(dx)
+                dx = dx + l_inv.T @ (l_inv @ resid)
             ds = -r_p - gmv(dx)
             dz = -(r_c + z * ds) / s
             return dx, ds, dz
@@ -191,12 +233,16 @@ def solve_qp(
             & (jnp.max(jnp.abs(r_d)) < tol)
             & (mu < tol)
         )
-        return x, s, z, r_p, done | conv
+        if kkt_every == 1:
+            return x, s, z, r_p, done | conv
+        return x, s, z, r_p, done | conv, l_inv
 
     r_p0 = g_mat @ x + s - h_vec
-    x, s, z, _, _ = jax.lax.fori_loop(
-        0, iters, body, (x, s, z, r_p0, jnp.asarray(False))
-    )
+    carry0 = (x, s, z, r_p0, jnp.asarray(False))
+    if kkt_every > 1:
+        carry0 = carry0 + (jnp.zeros((n, n), dtype),)
+    out = jax.lax.fori_loop(0, iters, body, carry0)
+    x, s, z = out[0], out[1], out[2]
 
     r_d = jnp.max(jnp.abs(p_mat @ x + q_vec + g_mat.T @ z))
     r_p = jnp.max(jnp.maximum(g_mat @ x - h_vec, 0.0))

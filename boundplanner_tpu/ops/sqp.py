@@ -45,6 +45,7 @@ def gauss_newton_sqp(
     admm_iters: int = 60,
     eval_jac_fn=None,
     qp_lowp: bool = False,
+    kkt_every: int = 1,
 ) -> SQPResult:
     """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
     to ``eval_fn`` — a manual/structured Jacobian path (e.g.
@@ -76,7 +77,8 @@ def gauss_newton_sqp(
                                pallas_kkt=pallas_kkt)
         else:
             qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
-                          pallas_kkt=pallas_kkt, lowp=qp_lowp)
+                          pallas_kkt=pallas_kkt, lowp=qp_lowp,
+                          kkt_every=kkt_every)
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]

@@ -29,7 +29,8 @@ def cache_path(batch: int, seed: int, nr_segs: int, root: str | None = None) -> 
     )
 
 
-def build_and_save(batch: int, seed: int, path: str, n_threads: int = 8):
+def build_and_save(batch: int, seed: int, path: str, n_threads: int = 8,
+                   dtype=np.float32):
     """Plan the fleet (threaded, broker-coalesced) and pickle it. Must run
     on a CPU backend."""
     from ..config import perf_mpc_params
@@ -37,7 +38,7 @@ def build_and_save(batch: int, seed: int, path: str, n_threads: int = 8):
 
     cfg = perf_mpc_params()
     carry_b, q0_b, obs_b, brk = build_fleet_threaded(
-        batch, cfg, seed=seed, dtype=np.float32, n_threads=n_threads
+        batch, cfg, seed=seed, dtype=dtype, n_threads=n_threads
     )
     payload = {
         "schema": SCHEMA,

@@ -37,8 +37,11 @@ def test_build_and_reload_roundtrip(tmp_path):
     from boundplanner_tpu.config import default_mpc_params
     from boundplanner_tpu.parallel.batch import closed_loop_rollout
 
+    # float64: the test env enables x64, where float32 pytrees would mix
+    # with f64 scalars inside the solver loops
     path = str(tmp_path / "fleet2.pkl")
-    payload = fleet_cache.build_and_save(2, 123, path, n_threads=2)
+    payload = fleet_cache.build_and_save(2, 123, path, n_threads=2,
+                                         dtype=np.float64)
     assert payload["broker_stats"]["calls_served"] > 0
 
     loaded = fleet_cache.load(path)

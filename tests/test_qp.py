@@ -153,3 +153,35 @@ def test_admm_vs_ipm(rng):
         )
         np.testing.assert_allclose(np.asarray(sol.x), x_ipm, atol=2e-3)
         assert float(sol.r_p) < 1e-4
+
+
+def test_kkt_every_frozen_factor(rng):
+    """kkt_every=2 (frozen-factor mode): primal-feasible and close to the
+    exact-IPM solution only loosely (directions are inexact); vmap path
+    works and matches the unbatched call.
+
+    NOTE this is an experimental knob with a DOCUMENTED NEGATIVE RESULT at
+    OCP scale (CPU obstacle closed-loop: 8 infeasibility fallbacks vs 0)
+    — the stale-factor refinement does not contract when the barrier
+    scaling w = z/s moves quickly. Default stays kkt_every=1.
+    """
+    xs = []
+    for _ in range(4):
+        p, q, g, h = random_qp(rng, n=8, m=16)
+        args = [jnp.asarray(v) for v in (p, q, g, h)]
+        x_ref = np.asarray(SOLVE_QP(*args).x)
+        sol = solve_qp(*args, iters=30, kkt_every=2)
+        # contract: always primal-feasible and finite; optimality is only
+        # approximate (this is exactly why the knob failed its gate)
+        assert float(sol.r_p) < 1e-6
+        assert np.all(np.isfinite(np.asarray(sol.x)))
+        assert np.linalg.norm(np.asarray(sol.x) - x_ref) < 1.0
+        xs.append((args, sol))
+    # batched path
+    (args, sol0) = xs[0]
+    batched = jax.vmap(
+        lambda p, q, g, h: solve_qp(p, q, g, h, iters=30, kkt_every=2)
+    )(*[jnp.stack([a] * 3) for a in args])
+    np.testing.assert_allclose(
+        np.asarray(batched.x[0]), np.asarray(sol0.x), rtol=1e-6, atol=1e-8
+    )
