@@ -50,6 +50,12 @@ class MPCParams:
     # structured chain-rule OCP Jacobians (`mpc.ocp_jac`) instead of
     # jacfwd through the full evaluation — identical values, fewer tangents
     manual_jac: bool = False
+    # exploit the block-banded OCP structure end to end (`mpc.ocp_struct`):
+    # 12-tangent (p,v) local AD, static bound/slack rows applied
+    # structurally inside the IPM (out of the streamed constraint matrix
+    # and the dense Gram), causal chunk-split Gram products. Implies the
+    # manual-jac chain rule; ~2.5x fewer FLOPs per solve.
+    struct_ocp: bool = False
     # shift the warm start one control period (the reference re-uses the
     # unshifted previous solution, `BoundMPC.py:412-428`)
     warm_shift: bool = False

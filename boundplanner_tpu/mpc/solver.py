@@ -16,18 +16,23 @@ import jax
 
 from ..config import MPCParams
 from ..ops.sqp import SQPResult, gauss_newton_sqp
-from . import ocp, ocp_jac
+from . import ocp, ocp_jac, ocp_struct
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
+    if cfg.struct_ocp:
+        eval_jac_fn = lambda x: ocp_jac.evaluate_with_jac_structured(
+            x, params, cfg
+        )
+    elif cfg.manual_jac:
+        eval_jac_fn = lambda x: ocp_jac.evaluate_with_jac(x, params, cfg)
+    else:
+        eval_jac_fn = None
     return gauss_newton_sqp(
         eval_fn=lambda x: ocp.evaluate(x, params, cfg),
-        eval_jac_fn=(
-            (lambda x: ocp_jac.evaluate_with_jac(x, params, cfg))
-            if cfg.manual_jac
-            else None
-        ),
+        eval_jac_fn=eval_jac_fn,
+        struct=ocp_struct.build(cfg.n, cfg.dt) if cfg.struct_ocp else None,
         x0=x0,
         iters=cfg.sqp_iters,
         qp_iters=cfg.qp_iters,

@@ -55,7 +55,8 @@ def _step_len(v, dv, tau=0.995):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every")
+    jax.jit,
+    static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every", "struct"),
 )
 def solve_qp(
     p_mat: jax.Array,
@@ -69,6 +70,8 @@ def solve_qp(
     pallas_kkt: bool = False,
     lowp: bool = False,
     kkt_every: int = 1,
+    struct=None,
+    h_tail: Optional[jax.Array] = None,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -88,32 +91,73 @@ def solve_qp(
     refinement converges as long as the diagonal scaling w = z/s moved
     less than the (regularized) spectrum allows — gated on closed-loop
     quality like every solver knob.
+
+    ``struct``/``h_tail``: block-banded constraint structure
+    (`mpc.ocp_struct.OCPStruct`). When given, ``g_mat``/``h_vec`` carry
+    only the RUNTIME rows; the static bound/slack rows (with h values
+    ``h_tail``) are applied structurally — per-joint profile products
+    instead of dense rows — and the runtime Gram uses the causal-support
+    chunk split. The tail rows sit at the END of the row order (matching
+    `ocp.evaluate`); solutions are identical to the dense path up to
+    float reassociation.
     """
     n = q_vec.shape[0]
-    m = h_vec.shape[0]
+    m_run = h_vec.shape[0]
     dtype = q_vec.dtype
     lowp = lowp and dtype == jnp.float32
 
+    if struct is not None:
+        h_vec = jnp.concatenate([h_vec, h_tail])
+    m = h_vec.shape[0]
+
     x = jnp.zeros(n, dtype) if x0 is None else x0
-    s = jnp.maximum(h_vec - g_mat @ x, 1.0)
-    z = jnp.ones(m, dtype)
     g_dir = g_mat.astype(jnp.bfloat16) if lowp else g_mat
 
     def gmv(v):      # G @ v with f32 accumulation
         if lowp:
-            return jnp.matmul(g_dir, v.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        return g_mat @ v
+            run = jnp.matmul(g_dir, v.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        else:
+            run = g_mat @ v
+        if struct is None:
+            return run
+        return jnp.concatenate([run, struct.tail_apply(v)])
 
     def gtmv(v):     # G^T @ v with f32 accumulation
         if lowp:
-            return jnp.matmul(g_dir.T, v.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        return g_mat.T @ v
+            run = jnp.matmul(g_dir.T, v[:m_run].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        else:
+            run = g_mat.T @ v[:m_run]
+        if struct is None:
+            return run
+        return run + struct.tail_apply_t(v[m_run:])
+
+    def gmv_exact(v):
+        run = g_mat @ v
+        if struct is None:
+            return run
+        return jnp.concatenate([run, struct.tail_apply(v)])
+
+    def gtmv_exact(v):
+        run = g_mat.T @ v[:m_run]
+        if struct is None:
+            return run
+        return run + struct.tail_apply_t(v[m_run:])
+
+    s = jnp.maximum(h_vec - gmv_exact(x), 1.0)
+    z = jnp.ones(m, dtype)
 
     eye_n = jnp.eye(n, dtype=dtype)
 
     def assemble_kkt(w):
+        if struct is not None:
+            return (
+                p_mat
+                + struct.gram_g(g_mat, w[:m_run], lowp)
+                + struct.tail_gram(w[m_run:])
+                + reg * eye_n
+            )
         if lowp:
             gw = (g_dir * w[:, None].astype(jnp.bfloat16))
             return p_mat + jnp.matmul(
@@ -140,7 +184,7 @@ def solve_qp(
             x, s, z, r_p, done = carry
         else:
             x, s, z, r_p, done, l_inv = carry
-        r_d = p_mat @ x + q_vec + g_mat.T @ z
+        r_d = p_mat @ x + q_vec + gtmv_exact(z)
         mu = jnp.dot(s, z) / m
 
         w = z / s                                        # (m,)
@@ -237,15 +281,15 @@ def solve_qp(
             return x, s, z, r_p, done | conv
         return x, s, z, r_p, done | conv, l_inv
 
-    r_p0 = g_mat @ x + s - h_vec
+    r_p0 = gmv_exact(x) + s - h_vec
     carry0 = (x, s, z, r_p0, jnp.asarray(False))
     if kkt_every > 1:
         carry0 = carry0 + (jnp.zeros((n, n), dtype),)
     out = jax.lax.fori_loop(0, iters, body, carry0)
     x, s, z = out[0], out[1], out[2]
 
-    r_d = jnp.max(jnp.abs(p_mat @ x + q_vec + g_mat.T @ z))
-    r_p = jnp.max(jnp.maximum(g_mat @ x - h_vec, 0.0))
+    r_d = jnp.max(jnp.abs(p_mat @ x + q_vec + gtmv_exact(z)))
+    r_p = jnp.max(jnp.maximum(gmv_exact(x) - h_vec, 0.0))
     gap = jnp.dot(s, z) / m
     success = (r_p < 1e-6) & (r_d < 1e-4)
     return QPSolution(x=x, z=z, s=s, r_p=r_p, r_d=r_d, gap=gap, success=success)

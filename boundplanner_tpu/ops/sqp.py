@@ -46,10 +46,18 @@ def gauss_newton_sqp(
     eval_jac_fn=None,
     qp_lowp: bool = False,
     kkt_every: int = 1,
+    struct=None,
 ) -> SQPResult:
     """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
     to ``eval_fn`` — a manual/structured Jacobian path (e.g.
-    `mpc.ocp_jac.evaluate_with_jac`). Defaults to ``jacfwd(eval_fn)``."""
+    `mpc.ocp_jac.evaluate_with_jac`). Defaults to ``jacfwd(eval_fn)``.
+
+    ``struct`` (optional, requires a matching ``eval_jac_fn`` such as
+    `mpc.ocp_jac.evaluate_with_jac_structured`): the block-banded OCP
+    structure (`mpc.ocp_struct.OCPStruct`). The eval's Jg then covers only
+    the first ``struct.m_run`` constraint rows; the static bound/slack
+    tail is applied structurally inside the QP, and the Gauss-Newton
+    Hessian/Gram products use the causal chunk split."""
     nu = jnp.asarray(merit_penalty, x0.dtype)
     n_x = x0.shape[0]
     eye = jnp.eye(n_x, dtype=x0.dtype)
@@ -70,11 +78,20 @@ def gauss_newton_sqp(
             jr, jg = jac_fn(x)
 
         grad = 2.0 * jr.T @ r
-        hess = 2.0 * jr.T @ jr + lam * eye
+        if struct is not None:
+            hess = 2.0 * struct.gram_r(jr) + lam * eye
+        else:
+            hess = 2.0 * jr.T @ jr + lam * eye
 
         if qp_solver == "admm":
             qp = solve_qp_admm(hess, grad, jg, -g, iters=admm_iters,
                                pallas_kkt=pallas_kkt)
+        elif struct is not None:
+            m_run = struct.m_run
+            qp = solve_qp(hess, grad, jg, -g[:m_run], iters=qp_iters,
+                          tol=1e-10, pallas_kkt=pallas_kkt, lowp=qp_lowp,
+                          kkt_every=kkt_every, struct=struct,
+                          h_tail=-g[m_run:])
         else:
             qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
                           pallas_kkt=pallas_kkt, lowp=qp_lowp,
