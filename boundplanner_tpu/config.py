@@ -54,8 +54,16 @@ class MPCParams:
     # 12-tangent (p,v) local AD, static bound/slack rows applied
     # structurally inside the IPM (out of the streamed constraint matrix
     # and the dense Gram), causal chunk-split Gram products. Implies the
-    # manual-jac chain rule; ~2.5x fewer FLOPs per solve.
+    # manual-jac chain rule; ~2.3x fewer FLOPs per solve.
     struct_ocp: bool = False
+    # sub-knobs of struct_ocp (each A/B-gated on wall clock — fewer FLOPs
+    # is not automatically faster on a latency-bound tick):
+    # struct_tail=False materializes the static rows back into a dense
+    # constraint matrix (isolates the 12-tangent AD win); struct_chunked=
+    # False keeps the structural tail but skips the causal chunk split of
+    # the runtime Gram (single full-width product, no gathers/scatters).
+    struct_tail: bool = True
+    struct_chunked: bool = True
     # shift the warm start one control period (the reference re-uses the
     # unshifted previous solution, `BoundMPC.py:412-428`)
     warm_shift: bool = False
@@ -128,10 +136,18 @@ def perf_mpc_params() -> MPCParams:
       three gates stay PERFECT (demo fleet 1.000/0, CPU obstacle run 38
       ticks / 0 fallbacks / 1.44 mm, 64-random-scene fleet success
       1.0000 / viol 0).
-    2388 solves/s on one v5e chip (239x the reference baseline)."""
+    - struct_ocp (block-banded structure, round 2): 12-tangent local AD
+      + static bound/slack rows applied structurally in the IPM.
+      Random-fleet A/B at batch 128 x 20 ticks: 3398 -> 4316 solves/s
+      (+27%) with identical quality (success 0.9918, max viol 0.0084),
+      single-scene p99 56.6 -> 37.3 ms; CPU obstacle gate 38 ticks /
+      0 fallbacks / 1.01 mm. struct_chunked=False: the causal chunk
+      split cuts FLOPs a further 1.5x (2.29x total vs dense) but its
+      gathers/scatters cost 29% wall clock on the latency-bound tick —
+      documented FLOP-minimal mode, not adopted."""
     return MPCParams(sqp_iters=3, qp_iters=6, line_search_steps=4,
                      pallas_kkt=True, warm_shift=True, qp_bf16=True,
-                     manual_jac=True)
+                     struct_ocp=True, struct_chunked=False)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -456,4 +456,10 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     constraints = jnp.concatenate([g_steps.reshape(-1), g_term, g_tail])
     j_res = jnp.concatenate([jr_steps.reshape(-1, nx), jr_term])
     j_run = jnp.concatenate([jg_steps.reshape(-1, nx), jg_term])
+    if not cfg.struct_tail:
+        # materialize the static rows back into a dense constraint matrix
+        # (isolates the 12-tangent AD win from the structural-tail QP)
+        j_run = jnp.concatenate(
+            [j_run, jnp.asarray(_static_bound_rows(n, cfg.dt), dtype)]
+        )
     return residuals, constraints, j_res, j_run

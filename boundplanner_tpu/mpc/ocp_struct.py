@@ -56,9 +56,10 @@ class OCPStruct:
     stable — usable as a static jit argument.
     """
 
-    def __init__(self, n: int, dt: float):
+    def __init__(self, n: int, dt: float, chunked: bool = True):
         self.n = n
         self.dt = dt
+        self.chunked = chunked
         self.nx = ocp.n_vars(n)
         o = NJ * (n - 1)
         self.o = o
@@ -212,15 +213,30 @@ class OCPStruct:
 
         ``lowp`` streams the chunk matrices in bfloat16 with f32
         accumulation (same contract as `ops.qp.solve_qp`'s Gram)."""
-        return self._gram(g_run, self.half * self.per_step_g, w, lowp)
+        rows_a = self.half * self.per_step_g if self.chunked else 0
+        return self._gram(g_run, rows_a, w, lowp)
 
     def gram_r(self, j_res):
         """J_r^T J_r (unweighted, f32) with the same chunk split — the
         Gauss-Newton Hessian's dominant product."""
-        return self._gram(j_res, self.half * self.per_step_r, None, False)
+        rows_a = self.half * self.per_step_r if self.chunked else 0
+        return self._gram(j_res, rows_a, None, False)
 
     def _gram(self, mat, rows_a: int, w, lowp: bool):
         nx = self.nx
+        if rows_a == 0:
+            dtype = mat.dtype
+            if lowp:
+                m16 = mat.astype(jnp.bfloat16)
+                mw = (
+                    m16 * w[:, None].astype(jnp.bfloat16)
+                    if w is not None else m16
+                )
+                return jnp.matmul(
+                    m16.T, mw, preferred_element_type=jnp.float32
+                ).astype(dtype)
+            mw = mat * w[:, None] if w is not None else mat
+            return mat.T @ mw
         dtype = mat.dtype
         cols_a = jnp.asarray(self.cols_a)
         a = mat[:rows_a][:, self.cols_a]
@@ -248,5 +264,5 @@ class OCPStruct:
 
 
 @functools.lru_cache(maxsize=None)
-def build(n: int, dt: float) -> OCPStruct:
-    return OCPStruct(n, dt)
+def build(n: int, dt: float, chunked: bool = True) -> OCPStruct:
+    return OCPStruct(n, dt, chunked)

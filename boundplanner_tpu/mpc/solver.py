@@ -29,10 +29,15 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         eval_jac_fn = lambda x: ocp_jac.evaluate_with_jac(x, params, cfg)
     else:
         eval_jac_fn = None
+    use_struct = cfg.struct_ocp and cfg.struct_tail
     return gauss_newton_sqp(
         eval_fn=lambda x: ocp.evaluate(x, params, cfg),
         eval_jac_fn=eval_jac_fn,
-        struct=ocp_struct.build(cfg.n, cfg.dt) if cfg.struct_ocp else None,
+        struct=(
+            ocp_struct.build(cfg.n, cfg.dt, cfg.struct_chunked)
+            if use_struct
+            else None
+        ),
         x0=x0,
         iters=cfg.sqp_iters,
         qp_iters=cfg.qp_iters,
