@@ -74,7 +74,7 @@ class BatchBroker:
     this call's slice of the results as numpy.
     """
 
-    def __init__(self, linger: float = 0.003, max_batch: int = 64):
+    def __init__(self, linger: float = 0.030, max_batch: int = 64):
         self.linger = linger
         self.max_batch = max_batch
         self._lock = threading.Lock()

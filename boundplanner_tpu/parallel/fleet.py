@@ -113,7 +113,7 @@ def build_fleet_threaded(
     seed: int = 0,
     dtype=np.float32,
     n_threads: int = 8,
-    linger: float = 0.003,
+    linger: float = 0.030,
 ):
     """Like `build_fleet`, but plans scenes on a thread pool whose
     device-kernel calls coalesce through a `broker.BatchBroker` into
