@@ -397,14 +397,22 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     ddps = jnp.asarray(s["ddps"][1:], dtype)
     ddsl = jnp.asarray(s["ddsl"], dtype)  # (6, nx)
 
-    jr_steps = jnp.zeros((n - 1, st.per_step_r, nx), dtype)
-    jr_steps = jr_steps.at[:, jnp.asarray(_NL_RES_IDX), :].set(jr_nl)
-    jr_steps = jr_steps.at[:, 15:18, :].set(jnp.sqrt(w[6]) * ddq_r[:, 2:5, :])
-    jr_steps = jr_steps.at[:, 18:25, :].set(jnp.sqrt(w[7]) * du_r)
-    jr_steps = jr_steps.at[:, 36, :].set(jnp.sqrt(w[9]) * drs_traj)
-    jr_steps = jr_steps.at[:, 37, :].set(jnp.sqrt(w[10]) * ddrs)
-    jr_steps = jr_steps.at[:, 38, :].set(jnp.sqrt(w[9]) * dps_traj)
-    jr_steps = jr_steps.at[:, 39, :].set(jnp.sqrt(w[10]) * ddps)
+    # single ordered concatenation (a zeros+scatter assembly materializes
+    # the (n-1, 40, nx) buffer once per .at[].set — visible as pure-copy
+    # time in the TPU trace)
+    jr_steps = jnp.concatenate(
+        [
+            jr_nl[:, :15, :],                       # rows 0-14 (NL)
+            jnp.sqrt(w[6]) * ddq_r[:, 2:5, :],      # rows 15-17
+            jnp.sqrt(w[7]) * du_r,                  # rows 18-24
+            jr_nl[:, 15:26, :],                     # rows 25-35 (NL)
+            jnp.sqrt(w[9]) * drs_traj[:, None, :],  # row 36
+            jnp.sqrt(w[10]) * ddrs[:, None, :],     # row 37
+            jnp.sqrt(w[9]) * dps_traj[:, None, :],  # row 38
+            jnp.sqrt(w[10]) * ddps[:, None, :],     # row 39
+        ],
+        axis=1,
+    )
 
     # ---- assemble the step constraint Jacobian ----
     # set rows (15): NL part - pslack trajectory; band rows (6): NL -+ rslack

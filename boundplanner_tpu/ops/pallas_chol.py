@@ -48,7 +48,7 @@ def _row_blocks(n: int):
     return tuple(blocks)
 
 
-def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
+def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int, two_d: bool):
     """One tile of LANES problems; a_ref (n, n, LANES) is the only VMEM
     buffer: K -> L (in place) -> L^{-1} (in place), then DMA'd out.
 
@@ -59,13 +59,21 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
     phase p of the inversion skips row blocks entirely above it
     (masked-zero contributions either way; skipping is exact). This cuts
     the VPU work of the full-matrix masked updates by ~37% and keeps
-    every temporary at block size (VMEM budget)."""
+    every temporary at block size (VMEM budget).
+
+    ``two_d`` additionally restricts the COLUMN range of the trailing
+    updates / inverse products to the exact triangular support (a further
+    ~33% work cut at the cost of (4-p)^2 instead of (4-p) Mosaic ops per
+    step — A/B-gated on wall clock, as per-op overheads can dominate at
+    these block sizes). The skipped upper-triangle blocks are zeroed once
+    at the end so the returned L^{-1} is exactly lower-triangular."""
     i = pl.program_id(0)
     tile = pl.ds(i * LANES, LANES)
     dma_in = pltpu.make_async_copy(k_hbm_ref.at[:, :, tile], a_ref, sem)
     dma_in.start()
     dma_in.wait()
     out_ref = a_ref  # factorization + inversion run in this one buffer
+    dtype = a_ref.dtype
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
@@ -75,7 +83,7 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
         for h0, hn in blocks
     }
 
-    def chol_step(j, _, upd_blocks):
+    def chol_step(j, _, upd_blocks, col_blocks):
         col = out_ref[:, pl.ds(j, 1), :]                    # (n, 1, L)
         onehot_c = (row_ids == j).astype(col.dtype)
         d = jnp.sqrt(
@@ -85,47 +93,91 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
         row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
         rowb = jnp.where(col_ids > j, row / d, 0.0)
         for (h0, hn) in upd_blocks:                         # trailing update
-            blk = out_ref[pl.ds(h0, hn), :, :]
-            out_ref[pl.ds(h0, hn), :, :] = blk - colb[h0 : h0 + hn] * rowb
+            if col_blocks is None:
+                blk = out_ref[pl.ds(h0, hn), :, :]
+                out_ref[pl.ds(h0, hn), :, :] = blk - colb[h0 : h0 + hn] * rowb
+            else:
+                for (c0, cn) in col_blocks:
+                    blk = out_ref[pl.ds(h0, hn), pl.ds(c0, cn), :]
+                    out_ref[pl.ds(h0, hn), pl.ds(c0, cn), :] = (
+                        blk - colb[h0 : h0 + hn] * rowb[:, c0 : c0 + cn]
+                    )
         out_ref[:, pl.ds(j, 1), :] = colb + onehot_c * d    # store L column j
         return 0
 
     for p, (h0, hn) in enumerate(blocks):
-        # columns j in [h0, h0+hn): rows <= h0 <= j never change
+        # columns j in [h0, h0+hn): rows <= h0 <= j never change; with
+        # two_d, columns <= h0 <= j never change either
         jax.lax.fori_loop(
             h0, h0 + hn,
-            functools.partial(chol_step, upd_blocks=blocks[p:]), 0,
+            functools.partial(
+                chol_step,
+                upd_blocks=blocks[p:],
+                col_blocks=blocks[p:] if two_d else None,
+            ),
+            0,
         )
 
-    def inv_step(j, _, read_blocks):
+    def inv_step(j, _, read_blocks, col_blocks):
         row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
         onehot_r = (col_ids == j).astype(row.dtype)
         d = jnp.sum(row * onehot_r, axis=1, keepdims=True)  # (1, 1, L)
         lrow = jnp.where(col_ids < j, row, 0.0)             # L[j, :j]
         lrow_t = jnp.transpose(lrow, (1, 0, 2))             # (n, 1, L)
         # rows k < j of out_ref already hold X rows; rows >= j unused here
-        s = 0.0
-        for (h0, hn) in read_blocks:
-            blk = out_ref[pl.ds(h0, hn), :, :]
-            masked = jnp.where(row_ids_b[h0] < j, blk, 0.0)
-            s = s + jnp.sum(lrow_t[h0 : h0 + hn] * masked, axis=0, keepdims=True)
-        out_ref[pl.ds(j, 1), :, :] = (onehot_r - s) / d
+        if col_blocks is None:
+            s = 0.0
+            for (h0, hn) in read_blocks:
+                blk = out_ref[pl.ds(h0, hn), :, :]
+                masked = jnp.where(row_ids_b[h0] < j, blk, 0.0)
+                s = s + jnp.sum(
+                    lrow_t[h0 : h0 + hn] * masked, axis=0, keepdims=True
+                )
+            out_ref[pl.ds(j, 1), :, :] = (onehot_r - s) / d
+        else:
+            # X rows k < j are zero beyond column k, so column blocks
+            # above the current phase contribute exactly zero
+            for (c0, cn) in col_blocks:
+                s = 0.0
+                for (h0, hn) in read_blocks:
+                    blk = out_ref[pl.ds(h0, hn), pl.ds(c0, cn), :]
+                    masked = jnp.where(row_ids_b[h0] < j, blk, 0.0)
+                    s = s + jnp.sum(
+                        lrow_t[h0 : h0 + hn] * masked, axis=0, keepdims=True
+                    )
+                out_ref[pl.ds(j, 1), pl.ds(c0, cn), :] = (
+                    (onehot_r[:, c0 : c0 + cn] - s) / d
+                )
         return 0
 
     for p, (h0, hn) in enumerate(blocks):
         # rows j in [h0, h0+hn): X rows live strictly below j
         jax.lax.fori_loop(
             h0, h0 + hn,
-            functools.partial(inv_step, read_blocks=blocks[: p + 1]), 0,
+            functools.partial(
+                inv_step,
+                read_blocks=blocks[: p + 1],
+                col_blocks=blocks[: p + 1] if two_d else None,
+            ),
+            0,
         )
+
+    if two_d:
+        # zero the never-written strictly-upper blocks so the result is
+        # exactly lower-triangular (matching the full-width path)
+        for p, (h0, hn) in enumerate(blocks):
+            for (c0, cn) in blocks[p + 1 :]:
+                out_ref[pl.ds(h0, hn), pl.ds(c0, cn), :] = jnp.zeros(
+                    (hn, cn, LANES), dtype
+                )
 
     dma_out = pltpu.make_async_copy(a_ref, out_hbm_ref.at[:, :, tile], sem)
     dma_out.start()
     dma_out.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cholesky_inverse(k_batch, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "two_d"))
+def cholesky_inverse(k_batch, interpret: bool = False, two_d: bool = True):
     """L^{-1} for a batch of SPD matrices. k_batch: (B, n, n) -> (B, n, n).
 
     n must be a multiple of 8 (f32 sublane tiling); B is padded to LANES
@@ -141,7 +193,7 @@ def cholesky_inverse(k_batch, interpret: bool = False):
 
     k_t = jnp.transpose(k_batch, (1, 2, 0))  # (n, n, B)
     grid = (btot // LANES,)
-    kernel = functools.partial(_kernel, n=n)
+    kernel = functools.partial(_kernel, n=n, two_d=two_d)
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
