@@ -49,4 +49,5 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         admm_iters=cfg.admm_iters,
         qp_lowp=cfg.qp_bf16,
         kkt_every=cfg.kkt_every,
+        qp_gondzio=cfg.qp_gondzio,
     )

@@ -56,7 +56,8 @@ def _step_len(v, dv, tau=0.995):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every", "struct"),
+    static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every", "struct",
+                     "gondzio"),
 )
 def solve_qp(
     p_mat: jax.Array,
@@ -72,6 +73,7 @@ def solve_qp(
     kkt_every: int = 1,
     struct=None,
     h_tail: Optional[jax.Array] = None,
+    gondzio: int = 0,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -252,6 +254,27 @@ def solve_qp(
         dx, ds, dz = solve_dx(r_c)
         alpha_p = _step_len(s, ds)
         alpha_d = _step_len(z, dz)
+
+        # Gondzio multiple-centrality correctors: re-use the factorization
+        # (solves are matvecs against the explicit inverse) to push the
+        # trial complementarity products of an extended step back into a
+        # neighborhood of the central path — buys larger steps per
+        # factorization, i.e. fewer IPM iterations for the same accuracy.
+        mu_t = jnp.maximum(sigma * mu, 1e-300)
+        for _ in range(gondzio):
+            a_try_p = jnp.minimum(alpha_p + 0.08, 1.0)
+            a_try_d = jnp.minimum(alpha_d + 0.08, 1.0)
+            v_try = (s + a_try_p * ds) * (z + a_try_d * dz)
+            t_corr = jnp.clip(v_try, 0.1 * mu_t, 10.0 * mu_t) - v_try
+            dx2, ds2, dz2 = solve_dx(r_c - t_corr)
+            a2_p = _step_len(s, ds2)
+            a2_d = _step_len(z, dz2)
+            better = jnp.minimum(a2_p, a2_d) >= jnp.minimum(alpha_p, alpha_d)
+            dx = jnp.where(better, dx2, dx)
+            ds = jnp.where(better, ds2, ds)
+            dz = jnp.where(better, dz2, dz)
+            alpha_p = jnp.where(better, a2_p, alpha_p)
+            alpha_d = jnp.where(better, a2_d, alpha_d)
         alpha = jnp.minimum(alpha_p, alpha_d)
 
         x_new = x + alpha * dx

@@ -47,6 +47,7 @@ def gauss_newton_sqp(
     qp_lowp: bool = False,
     kkt_every: int = 1,
     struct=None,
+    qp_gondzio: int = 0,
 ) -> SQPResult:
     """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
     to ``eval_fn`` — a manual/structured Jacobian path (e.g.
@@ -91,11 +92,11 @@ def gauss_newton_sqp(
             qp = solve_qp(hess, grad, jg, -g[:m_run], iters=qp_iters,
                           tol=1e-10, pallas_kkt=pallas_kkt, lowp=qp_lowp,
                           kkt_every=kkt_every, struct=struct,
-                          h_tail=-g[m_run:])
+                          h_tail=-g[m_run:], gondzio=qp_gondzio)
         else:
             qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
                           pallas_kkt=pallas_kkt, lowp=qp_lowp,
-                          kkt_every=kkt_every)
+                          kkt_every=kkt_every, gondzio=qp_gondzio)
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]

@@ -8,17 +8,26 @@ import jax.numpy as jnp
 from boundplanner_tpu.ops.pallas_chol import cholesky_inverse
 
 
-def test_matches_numpy(rng):
-    n, bsz = 16, 5
+@pytest.mark.parametrize("n", [16, 40])
+@pytest.mark.parametrize(
+    "kw",
+    [dict(two_d=False, rank2=False), dict(two_d=True, rank2=False),
+     dict(rank2=True)],
+    ids=["rank1_full", "rank1_2d", "rank2"],
+)
+def test_matches_numpy(rng, n, kw):
+    bsz = 5
     ks = []
     for _ in range(bsz):
         a = rng.normal(size=(n, n))
         ks.append(a @ a.T + n * np.eye(n))
     ks = np.stack(ks).astype(np.float64)
-    li = np.asarray(cholesky_inverse(jnp.asarray(ks), interpret=True))
+    li = np.asarray(cholesky_inverse(jnp.asarray(ks), interpret=True, **kw))
     for i in range(bsz):
         l_ref = np.linalg.cholesky(ks[i])
         np.testing.assert_allclose(li[i] @ l_ref, np.eye(n), atol=1e-9)
+        # exactly lower-triangular in every variant
+        assert np.abs(np.triu(li[i], 1)).max() == 0.0
         # K^{-1} = L^{-T} L^{-1}
         np.testing.assert_allclose(
             li[i].T @ li[i] @ ks[i], np.eye(n), atol=1e-7
