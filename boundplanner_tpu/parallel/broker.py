@@ -123,17 +123,30 @@ class BatchBroker:
         return ticket.result
 
 
-def register_planner_kernels(broker: BatchBroker, max_set_size: int = 20):
+def register_planner_kernels(broker: BatchBroker, max_set_size: int = 20,
+                             device_search: bool = False):
     """Register the BoundPlanner device-kernel surface on a broker.
 
     Keys match the wrapper methods in `planner.BoundPlanner` (which route
     through `self.broker` when present): set growth, MVIE, intersection
     feasibility, EE-fit probing, and point projection.
+
+    ``device_search`` additionally registers the batched min-plus
+    shortest-path kernel ("spath", `planner.device_search`) and the
+    planner then routes its roadmap searches through it. Off by default:
+    on the tunnel backend a device call costs ~1 s RTT against a
+    microsecond host Dijkstra, so it only pays when fleets of planners
+    actually coalesce (measured decision in ROUND2_NOTES).
     """
     from ..ops.mvie import mvie
     from ..ops.qp import solve_feasibility, solve_projection
     from ..planner.set_finder import find_set_around_point, find_set_line
     from ..planner.via_opt import fit_ee_in_set
+
+    if device_search:
+        from ..planner.device_search import shortest_path_device
+
+        broker.register("spath", shortest_path_device)
 
     broker.register(
         "fsap",

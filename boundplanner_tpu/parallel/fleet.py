@@ -114,6 +114,7 @@ def build_fleet_threaded(
     dtype=np.float32,
     n_threads: int = 8,
     linger: float = 0.030,
+    device_search: bool = False,
 ):
     """Like `build_fleet`, but plans scenes on a thread pool whose
     device-kernel calls coalesce through a `broker.BatchBroker` into
@@ -128,7 +129,7 @@ def build_fleet_threaded(
 
     q0 = DEMO_Q0.copy() if q0 is None else np.asarray(q0, float)
     brk = BatchBroker(linger=linger)
-    register_planner_kernels(brk, max_set_size=20)
+    register_planner_kernels(brk, max_set_size=20, device_search=device_search)
 
     results = {}
     lock = threading.Lock()

@@ -55,6 +55,7 @@ from .set_finder import (
 from .via_opt import fit_ee_in_set, solve_via_rot
 
 FIT_ROWS = 48  # padded row count for intersection-set device problems
+SPATH_PAD = 64  # padded junction count for the device shortest-path kernel
 
 
 def _pad(a, b, rows):
@@ -260,6 +261,26 @@ class BoundPlanner:
             jnp.asarray(a_p), jnp.asarray(b_p), jnp.asarray(np.asarray(target, float))
         )
         return np.asarray(sol.x)
+
+    def _shortest_path(self, roadmap: SetRoadmap):
+        """Junction path start->end: host Dijkstra, or the batched
+        min-plus device kernel (`planner.device_search`) when a broker
+        exposes the "spath" key — fleets of concurrent planners then
+        coalesce their searches into one vmapped relaxation."""
+        n = len(roadmap.junctions)
+        if (
+            self.broker is not None
+            and "spath" in getattr(self.broker, "_fns", {})
+            and n <= SPATH_PAD
+        ):
+            from .device_search import roadmap_adjacency
+
+            adj = roadmap_adjacency(roadmap, SPATH_PAD)
+            _, path, reached = self.broker.call("spath", adj)
+            if not bool(reached):
+                raise RuntimeError("roadmap: start and end not connected")
+            return [int(x) for x in np.asarray(path) if x >= 0]
+        return roadmap.shortest_path()
 
     # ------------------------------------------------------------------
     # roadmap construction
@@ -600,7 +621,7 @@ class BoundPlanner:
         while True:
             if roadmap.connected():
                 t0 = time.perf_counter()
-                path = roadmap.shortest_path()
+                path = self._shortest_path(roadmap)
                 self.comp_time_path += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 p_via, p_via_list, omega_via, sets_via = self._via_points_for(
