@@ -64,6 +64,15 @@ class MPCParams:
     # the runtime Gram (single full-width product, no gathers/scatters).
     struct_tail: bool = True
     struct_chunked: bool = True
+    # apply the 1260 link-collision rows (80% of the runtime constraint
+    # matrix) through their exact factorization J = A_l @ acol_u - e_dsl
+    # instead of materializing/streaming them densely (`ocp_struct.link_*`).
+    # MEASURED NEGATIVE on v5e (4190 vs 4589 solves/s): the factored
+    # einsum chains carry tiny tensor dims (3, 15) that pad terribly in
+    # TPU tiles, while the dense row block they replace is one perfectly
+    # tiled MXU matmul — fewer bytes lost to worse tiling. Kept with full
+    # f64 equivalence tests as the record of the experiment.
+    struct_link: bool = False
     # Gondzio multiple-centrality correctors per IPM iteration (extra
     # cheap solves against the existing factorization; buys larger steps
     # so fewer IPM iterations carry the same accuracy)

@@ -420,13 +420,14 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     jg_band = jg_nl[:, 15:21, :] - drs_traj[:, None, :]
     # link rows (90): linear in p_col through the per-scene set matrices
     acol_x = jnp.einsum("klij,kjx->klix", acol, dq_r)  # (n-1, 6, 3, nx)
-    jg_link = jnp.einsum(
-        "lri,klix->klrx", params["a_set_joints"], acol_x
-    ) - ddsl[:NUM_LINK_SETS][None, :, None, :]
-    jg_link = jg_link.reshape(n - 1, NUM_LINK_SETS * MPC_SET_ROWS, nx)
-    jg_steps = jnp.concatenate(
-        [jg_set, jg_band, jg_link, jg_nl[:, 21:22, :]], axis=1
-    )
+    if not cfg.struct_link:
+        jg_link = jnp.einsum(
+            "lri,klix->klrx", params["a_set_joints"], acol_x
+        ) - ddsl[:NUM_LINK_SETS][None, :, None, :]
+        jg_link = jg_link.reshape(n - 1, NUM_LINK_SETS * MPC_SET_ROWS, nx)
+        jg_steps = jnp.concatenate(
+            [jg_set, jg_band, jg_link, jg_nl[:, 21:22, :]], axis=1
+        )
 
     # ---- terminal rows (values + 61-tangent local jacfwd, one step) ----
     g_term = ocp._terminal_local(zs[-1], params, cfg)
@@ -461,8 +462,31 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     g_tail = st.tail_values(traj, dtype)
 
     residuals = jnp.concatenate([r_steps.reshape(-1), r_term])
-    constraints = jnp.concatenate([g_steps.reshape(-1), g_term, g_tail])
     j_res = jnp.concatenate([jr_steps.reshape(-1, nx), jr_term])
+
+    if cfg.struct_link:
+        # factored-link mode: the 1260 link rows never materialize as a
+        # dense Jacobian block — `ocp_struct.link_*` applies them through
+        # (A_l @ acol_u) inside the QP. Constraint rows are REORDERED to
+        # [dense runtime (set/band/phi/term) | link | static tail]; every
+        # consumer of g is order-free (merit/viol sums) or split-aware.
+        gs = g_steps.reshape(n - 1, st.per_step_g)
+        g_dense = jnp.concatenate(
+            [gs[:, :21].reshape(-1), gs[:, 111], g_term]
+        )
+        g_link = gs[:, 21:111].reshape(-1)
+        constraints = jnp.concatenate([g_dense, g_link, g_tail])
+        jg_dense = jnp.concatenate(
+            [
+                jnp.concatenate([jg_set, jg_band], axis=1).reshape(-1, nx),
+                jg_nl[:, 21, :],
+                jg_term,
+            ]
+        )
+        acol_u = acol_x[:, :, :, : NJ * (n - 1)]  # u-column support only
+        return residuals, constraints, j_res, jg_dense, acol_u
+
+    constraints = jnp.concatenate([g_steps.reshape(-1), g_term, g_tail])
     j_run = jnp.concatenate([jg_steps.reshape(-1, nx), jg_term])
     if not cfg.struct_tail:
         # materialize the static rows back into a dense constraint matrix

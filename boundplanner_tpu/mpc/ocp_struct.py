@@ -71,6 +71,10 @@ class OCPStruct:
         self.n_term_r = 5 + 6 + 6
         self.m_run = (n - 1) * self.per_step_g + self.n_term_g
         self.m_r = (n - 1) * self.per_step_r + self.n_term_r
+        # struct_link row split: dense runtime rows (set/band/phi/term)
+        # vs factored link rows (`link_apply` row order)
+        self.m_link = (n - 1) * NUM_LINK_SETS * MPC_SET_ROWS
+        self.m_dense = self.m_run - self.m_link
 
         s = _static_sensitivities(n, dt)
         # scalar jerk-chain profiles restricted to free inputs u_1..u_{n-1}
@@ -94,6 +98,59 @@ class OCPStruct:
         cols += [o + 7 + n]                                # ps0
         cols += list(range(o + 8 + n, o + 8 + n + half + 1))  # dps_0..half
         self.cols_a = np.asarray(cols, dtype=np.int32)
+
+    # ---- factored link-collision rows -----------------------------------
+    #
+    # The 6 x 15 link-set rows per step are (NUM_LINK_SETS * MPC_SET_ROWS
+    # * (n-1) = 1260 of the 1589 runtime rows — 80%) and factor exactly as
+    #
+    #   J_link[k, l, r, :] = A[l, r, :] @ acol_u[k, l]  -  e_{dslack_l}
+    #
+    # with A = a_set_joints (per-scene constant, (6, 15, 3)) and
+    # acol_u[k, l] = d(p_col_l(q_k))/du (3, o) — the only x-dependent
+    # piece, 3 rows instead of 15. Applying them through this
+    # factorization removes 80% of the streamed constraint matrix (the
+    # dominant HBM traffic of the IPM) and shrinks their Gram to 3x3
+    # inner products sandwiched between acol_u chains.
+    # Row order: k-major, then link, then set row (matches
+    # `ocp._step_local`'s link block reshaped).
+
+    def link_apply(self, acol_u, a_joints, v):
+        """J_link @ v -> (m_link,)."""
+        o = self.o
+        t = jnp.einsum("klix,x->kli", acol_u, v[:o])
+        rows = jnp.einsum("lri,kli->klr", a_joints, t) - v[o : o + 6][None, :, None]
+        return rows.reshape(-1)
+
+    def link_apply_t(self, acol_u, a_joints, y):
+        """J_link^T @ y -> (nx,)."""
+        n, o, nx = self.n, self.o, self.nx
+        yk = y.reshape(n - 1, NUM_LINK_SETS, MPC_SET_ROWS)
+        t = jnp.einsum("lri,klr->kli", a_joints, yk)
+        vu = jnp.einsum("klix,kli->x", acol_u, t)
+        vds = -jnp.sum(yk, axis=(0, 2))
+        out = jnp.zeros(nx, y.dtype)
+        out = out.at[:o].set(vu)
+        out = out.at[o : o + 6].set(vds)
+        return out
+
+    def link_gram(self, acol_u, a_joints, w):
+        """J_link^T diag(w) J_link -> (nx, nx)."""
+        n, o, nx = self.n, self.o, self.nx
+        wk = w.reshape(n - 1, NUM_LINK_SETS, MPC_SET_ROWS)
+        inner = jnp.einsum("lri,klr,lrj->klij", a_joints, wk, a_joints)
+        half = jnp.einsum("klij,kljx->klix", inner, acol_u)  # (k,l,3,o)
+        uu = jnp.einsum("klix,kliy->xy", acol_u, half)
+        # dslack cross terms: rows' -e_{dsl_l} against the u part and
+        # against themselves
+        cross = -jnp.einsum("lri,klr,klix->lx", a_joints, wk, acol_u)
+        w_l = jnp.sum(wk, axis=(0, 2))                       # (6,)
+        out = jnp.zeros((nx, nx), w.dtype)
+        out = out.at[:o, :o].set(uu)
+        out = out.at[o : o + 6, :o].set(cross)
+        out = out.at[:o, o : o + 6].set(cross.T)
+        out = out.at[o + jnp.arange(6), o + jnp.arange(6)].add(w_l)
+        return out
 
     # ---- static tail: g_tail(x) = [bound rows; slack rows] --------------
 

@@ -30,6 +30,10 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
     else:
         eval_jac_fn = None
     use_struct = cfg.struct_ocp and cfg.struct_tail
+    if cfg.struct_link:
+        assert use_struct and not cfg.struct_chunked, (
+            "struct_link requires struct_tail=True, struct_chunked=False"
+        )
     return gauss_newton_sqp(
         eval_fn=lambda x: ocp.evaluate(x, params, cfg),
         eval_jac_fn=eval_jac_fn,
@@ -50,4 +54,5 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         qp_lowp=cfg.qp_bf16,
         kkt_every=cfg.kkt_every,
         qp_gondzio=cfg.qp_gondzio,
+        link_a=params["a_set_joints"] if cfg.struct_link else None,
     )

@@ -74,6 +74,8 @@ def solve_qp(
     struct=None,
     h_tail: Optional[jax.Array] = None,
     gondzio: int = 0,
+    link=None,
+    h_link: Optional[jax.Array] = None,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -105,15 +107,29 @@ def solve_qp(
     """
     n = q_vec.shape[0]
     m_run = h_vec.shape[0]
+    m_link = 0 if link is None else h_link.shape[0]
     dtype = q_vec.dtype
     lowp = lowp and dtype == jnp.float32
 
     if struct is not None:
-        h_vec = jnp.concatenate([h_vec, h_tail])
+        parts = [h_vec] + ([h_link] if link is not None else []) + [h_tail]
+        h_vec = jnp.concatenate(parts)
     m = h_vec.shape[0]
 
     x = jnp.zeros(n, dtype) if x0 is None else x0
     g_dir = g_mat.astype(jnp.bfloat16) if lowp else g_mat
+
+    def _structured_parts(v):
+        if link is None:
+            return [struct.tail_apply(v)]
+        return [struct.link_apply(link[0], link[1], v), struct.tail_apply(v)]
+
+    def _structured_t(y):
+        if link is None:
+            return struct.tail_apply_t(y[m_run:])
+        return struct.link_apply_t(
+            link[0], link[1], y[m_run : m_run + m_link]
+        ) + struct.tail_apply_t(y[m_run + m_link :])
 
     def gmv(v):      # G @ v with f32 accumulation
         if lowp:
@@ -123,7 +139,7 @@ def solve_qp(
             run = g_mat @ v
         if struct is None:
             return run
-        return jnp.concatenate([run, struct.tail_apply(v)])
+        return jnp.concatenate([run] + _structured_parts(v))
 
     def gtmv(v):     # G^T @ v with f32 accumulation
         if lowp:
@@ -133,19 +149,19 @@ def solve_qp(
             run = g_mat.T @ v[:m_run]
         if struct is None:
             return run
-        return run + struct.tail_apply_t(v[m_run:])
+        return run + _structured_t(v)
 
     def gmv_exact(v):
         run = g_mat @ v
         if struct is None:
             return run
-        return jnp.concatenate([run, struct.tail_apply(v)])
+        return jnp.concatenate([run] + _structured_parts(v))
 
     def gtmv_exact(v):
         run = g_mat.T @ v[:m_run]
         if struct is None:
             return run
-        return run + struct.tail_apply_t(v[m_run:])
+        return run + _structured_t(v)
 
     s = jnp.maximum(h_vec - gmv_exact(x), 1.0)
     z = jnp.ones(m, dtype)
@@ -154,12 +170,16 @@ def solve_qp(
 
     def assemble_kkt(w):
         if struct is not None:
-            return (
+            kkt = (
                 p_mat
                 + struct.gram_g(g_mat, w[:m_run], lowp)
-                + struct.tail_gram(w[m_run:])
                 + reg * eye_n
             )
+            if link is not None:
+                kkt = kkt + struct.link_gram(
+                    link[0], link[1], w[m_run : m_run + m_link]
+                )
+            return kkt + struct.tail_gram(w[m_run + m_link :])
         if lowp:
             gw = (g_dir * w[:, None].astype(jnp.bfloat16))
             return p_mat + jnp.matmul(

@@ -48,6 +48,7 @@ def gauss_newton_sqp(
     kkt_every: int = 1,
     struct=None,
     qp_gondzio: int = 0,
+    link_a=None,
 ) -> SQPResult:
     """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
     to ``eval_fn`` — a manual/structured Jacobian path (e.g.
@@ -58,7 +59,11 @@ def gauss_newton_sqp(
     structure (`mpc.ocp_struct.OCPStruct`). The eval's Jg then covers only
     the first ``struct.m_run`` constraint rows; the static bound/slack
     tail is applied structurally inside the QP, and the Gauss-Newton
-    Hessian/Gram products use the causal chunk split."""
+    Hessian/Gram products use the causal chunk split. With ``link_a``
+    (the per-scene link-set matrices), ``eval_jac_fn`` returns
+    (r, g, Jr, Jg_dense, acol_u) and the 1260 link rows are applied
+    through their factorization (`OCPStruct.link_*`) instead of a dense
+    block — row order [dense | link | tail]."""
     nu = jnp.asarray(merit_penalty, x0.dtype)
     n_x = x0.shape[0]
     eye = jnp.eye(n_x, dtype=x0.dtype)
@@ -72,8 +77,12 @@ def gauss_newton_sqp(
     def body(it, carry):
         x, lam, merit_prev, done, used = carry
 
+        acol_u = None
         if eval_jac_fn is not None:
-            r, g, jr, jg = eval_jac_fn(x)
+            if link_a is not None:
+                r, g, jr, jg, acol_u = eval_jac_fn(x)
+            else:
+                r, g, jr, jg = eval_jac_fn(x)
         else:
             r, g = eval_fn(x)
             jr, jg = jac_fn(x)
@@ -87,6 +96,13 @@ def gauss_newton_sqp(
         if qp_solver == "admm":
             qp = solve_qp_admm(hess, grad, jg, -g, iters=admm_iters,
                                pallas_kkt=pallas_kkt)
+        elif struct is not None and link_a is not None:
+            md, ml = struct.m_dense, struct.m_link
+            qp = solve_qp(hess, grad, jg, -g[:md], iters=qp_iters,
+                          tol=1e-10, pallas_kkt=pallas_kkt, lowp=qp_lowp,
+                          kkt_every=kkt_every, struct=struct,
+                          h_tail=-g[md + ml:], gondzio=qp_gondzio,
+                          link=(acol_u, link_a), h_link=-g[md : md + ml])
         elif struct is not None:
             m_run = struct.m_run
             qp = solve_qp(hess, grad, jg, -g[:m_run], iters=qp_iters,

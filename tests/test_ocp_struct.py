@@ -115,6 +115,91 @@ def test_solve_qp_struct_matches_dense(setup):
     assert bool(sol0.success) and bool(sol1.success)
 
 
+def test_link_operators_match_dense_block(setup):
+    """The factored link path reproduces the dense link-row block:
+    values/Jacobians under the [dense | link | tail] permutation, the
+    three operators, and the full QP solution."""
+    from boundplanner_tpu.ops.qp import solve_qp
+
+    cfg0, params, xs, st = setup
+    cfg = dataclasses.replace(cfg0, struct_ocp=True, struct_chunked=False,
+                              struct_link=True)
+    x = jnp.asarray(xs[1])
+    r0, g0, jr0, jg0 = ocp_jac.evaluate_with_jac(x, params, cfg0)
+    r1, g1, jr1, jgd, acol_u = ocp_jac.evaluate_with_jac_structured(
+        x, params, cfg
+    )
+    # permutation of the runtime rows: per-step [set+band], then phi rows,
+    # then the terminal block (evaluate order interleaves them per step)
+    n = cfg.n
+    ps = st.per_step_g
+    perm = []
+    for k in range(n - 1):
+        perm += list(range(k * ps, k * ps + 21))
+    perm += [k * ps + 111 for k in range(n - 1)]
+    perm += list(range((n - 1) * ps, (n - 1) * ps + st.n_term_g))
+    link_perm = []
+    for k in range(n - 1):
+        link_perm += list(range(k * ps + 21, k * ps + 111))
+    full_perm = (
+        perm + link_perm + list(range(st.m_run, st.m_run + st.m_tail))
+    )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0)[full_perm], atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(jr1), np.asarray(jr0), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(jgd), np.asarray(jg0)[perm], atol=1e-9
+    )
+    # operators vs the dense link block
+    j_link = np.asarray(jg0)[link_perm]
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=st.nx)
+    y = rng.normal(size=st.m_link)
+    w = rng.uniform(0.1, 2.0, size=st.m_link)
+    aj = params["a_set_joints"]
+    np.testing.assert_allclose(
+        np.asarray(st.link_apply(acol_u, aj, jnp.asarray(v))),
+        j_link @ v, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.link_apply_t(acol_u, aj, jnp.asarray(y))),
+        j_link.T @ y, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.link_gram(acol_u, aj, jnp.asarray(w))),
+        j_link.T @ (w[:, None] * j_link), atol=1e-8,
+    )
+    # full QP solution equality
+    hess = 2.0 * jr1.T @ jr1 + 1e-4 * jnp.eye(st.nx, dtype=x.dtype)
+    grad = 2.0 * jr1.T @ r1
+    sol0 = solve_qp(hess, grad, jg0, -g0, iters=20)
+    md, ml = st.m_dense, st.m_link
+    sol1 = solve_qp(hess, grad, jgd, -g1[:md], iters=20, struct=st,
+                    h_tail=-g1[md + ml:], link=(acol_u, aj),
+                    h_link=-g1[md : md + ml])
+    # row reordering changes the IPM's iterate path; solutions agree to
+    # solver tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
+                               atol=1e-5)
+    assert bool(sol0.success) and bool(sol1.success)
+
+
+def test_tick_struct_link_matches(setup):
+    from boundplanner_tpu.mpc.bound_mpc import mpc_tick
+
+    cfg = MPCParams(sqp_iters=4, qp_iters=10, line_search_steps=4,
+                    struct_ocp=True, struct_chunked=False)
+    cfg_l = dataclasses.replace(cfg, struct_link=True)
+    carry, meas, obs, q0 = demo_scene(cfg, dtype=np.float64)
+    _, out0 = mpc_tick(carry, meas, obs, cfg)
+    _, out1 = mpc_tick(carry, meas, obs, cfg_l)
+    np.testing.assert_allclose(
+        np.asarray(out1["q"]), np.asarray(out0["q"]), atol=1e-9
+    )
+
+
 def test_tick_struct_matches_manual(setup):
     from boundplanner_tpu.mpc.bound_mpc import mpc_tick
 
