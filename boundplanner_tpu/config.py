@@ -73,6 +73,14 @@ class MPCParams:
     # tiled MXU matmul — fewer bytes lost to worse tiling. Kept with full
     # f64 equivalence tests as the record of the experiment.
     struct_link: bool = False
+    # carry the QP's inequality duals across SQP iterations as the next
+    # subproblem's interior-point warm start (clipped into a safe cone).
+    # MEASURED NEGATIVE: no speedup at equal iters and max viol blows up
+    # (0.008 -> 3.3 on the random fleet) — a warm z against cold slacks
+    # s = max(h, 1) starts the iterate far off the central path, which
+    # hurts more than the inherited active set helps. Needs a paired
+    # (s, z) least-squares init to revisit.
+    qp_warm_dual: bool = False
     # Gondzio multiple-centrality correctors per IPM iteration (extra
     # cheap solves against the existing factorization; buys larger steps
     # so fewer IPM iterations carry the same accuracy)

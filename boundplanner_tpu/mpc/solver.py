@@ -54,5 +54,6 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         qp_lowp=cfg.qp_bf16,
         kkt_every=cfg.kkt_every,
         qp_gondzio=cfg.qp_gondzio,
+        qp_warm_dual=cfg.qp_warm_dual,
         link_a=params["a_set_joints"] if cfg.struct_link else None,
     )

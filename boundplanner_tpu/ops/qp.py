@@ -76,6 +76,7 @@ def solve_qp(
     gondzio: int = 0,
     link=None,
     h_link: Optional[jax.Array] = None,
+    z0: Optional[jax.Array] = None,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -164,7 +165,9 @@ def solve_qp(
         return run + _structured_t(v)
 
     s = jnp.maximum(h_vec - gmv_exact(x), 1.0)
-    z = jnp.ones(m, dtype)
+    # dual warm start (e.g. from the previous SQP iteration's QP): clip
+    # into a safe cone so w = z/s starts near the inherited active set
+    z = jnp.ones(m, dtype) if z0 is None else jnp.clip(z0, 1e-6, 1e6)
 
     eye_n = jnp.eye(n, dtype=dtype)
 

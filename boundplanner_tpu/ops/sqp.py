@@ -49,6 +49,7 @@ def gauss_newton_sqp(
     struct=None,
     qp_gondzio: int = 0,
     link_a=None,
+    qp_warm_dual: bool = False,
 ) -> SQPResult:
     """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
     to ``eval_fn`` — a manual/structured Jacobian path (e.g.
@@ -75,7 +76,11 @@ def gauss_newton_sqp(
         return jnp.sum(r * r) + nu * jnp.sum(jnp.maximum(g, 0.0))
 
     def body(it, carry):
-        x, lam, merit_prev, done, used = carry
+        if qp_warm_dual:
+            x, lam, merit_prev, done, used, z_prev = carry
+        else:
+            x, lam, merit_prev, done, used = carry
+            z_prev = None
 
         acol_u = None
         if eval_jac_fn is not None:
@@ -102,17 +107,20 @@ def gauss_newton_sqp(
                           tol=1e-10, pallas_kkt=pallas_kkt, lowp=qp_lowp,
                           kkt_every=kkt_every, struct=struct,
                           h_tail=-g[md + ml:], gondzio=qp_gondzio,
-                          link=(acol_u, link_a), h_link=-g[md : md + ml])
+                          link=(acol_u, link_a), h_link=-g[md : md + ml],
+                          z0=z_prev)
         elif struct is not None:
             m_run = struct.m_run
             qp = solve_qp(hess, grad, jg, -g[:m_run], iters=qp_iters,
                           tol=1e-10, pallas_kkt=pallas_kkt, lowp=qp_lowp,
                           kkt_every=kkt_every, struct=struct,
-                          h_tail=-g[m_run:], gondzio=qp_gondzio)
+                          h_tail=-g[m_run:], gondzio=qp_gondzio,
+                          z0=z_prev)
         else:
             qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
                           pallas_kkt=pallas_kkt, lowp=qp_lowp,
-                          kkt_every=kkt_every, gondzio=qp_gondzio)
+                          kkt_every=kkt_every, gondzio=qp_gondzio,
+                          z0=z_prev)
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]
@@ -135,6 +143,8 @@ def gauss_newton_sqp(
         merit_prev = jnp.where(done, merit_prev, merit_next)
         used = used + jnp.where(done, 0, 1)
         done = done | conv | (lam > 1e8)
+        if qp_warm_dual:
+            return x, lam, merit_prev, done, used, qp.z
         return x, lam, merit_prev, done, used
 
     r0, g0 = eval_fn(x0)
@@ -147,7 +157,11 @@ def gauss_newton_sqp(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
-    x, lam, m_f, done, used = jax.lax.fori_loop(0, iters, body, carry)
+    if qp_warm_dual:
+        n_rows = g0.shape[0]
+        carry = carry + (jnp.ones(n_rows, x0.dtype),)
+    out = jax.lax.fori_loop(0, iters, body, carry)
+    x, lam, m_f, done, used = out[:5]
 
     r, g = eval_fn(x)
     viol = jnp.max(jnp.maximum(g, 0.0))
