@@ -76,9 +76,56 @@ def slack_trajectories(rs0, drs, ps0, dps, dt):
     return rslacks, pslacks
 
 
-def rollout_joints(u, q0, dq0, ddq0, dt):
+@functools.lru_cache(maxsize=None)
+def jerk_chain_profiles(n: int, dt: float):
+    """Scalar impulse responses of the jerk-spline chain (numpy,
+    (n, n) each for q/dq/ddq): the dynamics
+    (`casadi_ocp_formulation.py:106-120`) are LTI per joint, so the whole
+    joint trajectory is ``free response + C @ u``."""
+    import numpy as np
+
+    cq = np.zeros((n, n))
+    cdq = np.zeros((n, n))
+    cddq = np.zeros((n, n))
+    for m in range(n):
+        u = np.zeros(n)
+        u[m] = 1.0
+        q = dq = ddq = 0.0
+        for k in range(n - 1):
+            q, dq, ddq = (
+                q + dt * dq + dt**2 / 2 * ddq + dt**3 / 8 * u[k] + dt**3 / 24 * u[k + 1],
+                dq + dt * ddq + dt**2 / 3 * u[k] + dt**2 / 6 * u[k + 1],
+                ddq + dt / 2 * (u[k] + u[k + 1]),
+            )
+            cq[k + 1, m] = q
+            cdq[k + 1, m] = dq
+            cddq[k + 1, m] = ddq
+    return cq, cdq, cddq
+
+
+def rollout_joints(u, q0, dq0, ddq0, dt, static: bool = False):
     """Joint-space rollout of the jerk-spline chain — exactly the reference
-    dynamics (`casadi_ocp_formulation.py:106-120`): affine in u."""
+    dynamics (`casadi_ocp_formulation.py:106-120`): affine in u.
+
+    ``static`` evaluates the closed form (free response + impulse-response
+    matmuls) instead of the sequential scan. MEASURED NEGATIVE inside the
+    fused tick on v5e (4174 vs 4588 solves/s): the (15, 15) x (15, 7)
+    matmuls tile poorly, while the scan's 14 elementwise steps fuse into
+    cheap (batch, 7) VPU ops — the sequential depth they add is hidden
+    under the batch. Kept for the record (same arithmetic up to
+    reassociation)."""
+    if static:
+        n = u.shape[0]
+        dtype = u.dtype
+        cq, cdq, cddq = jerk_chain_profiles(n, float(dt))
+        t = dt * jnp.arange(n, dtype=dtype)[:, None]
+        q = (
+            q0[None] + t * dq0[None] + 0.5 * t * t * ddq0[None]
+            + jnp.asarray(cq, dtype) @ u
+        )
+        dq = dq0[None] + t * ddq0[None] + jnp.asarray(cdq, dtype) @ u
+        ddq = ddq0[None] + jnp.asarray(cddq, dtype) @ u
+        return q, dq, ddq
 
     def step(carry, uk_pair):
         q, dq, ddq = carry

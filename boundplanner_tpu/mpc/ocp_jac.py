@@ -56,23 +56,9 @@ def _static_sensitivities(n: int, dt: float):
     nx = ocp.n_vars(n)
     o = NJ * (n - 1)
 
-    # scalar impulse responses of the jerk chain (per-joint identical)
-    cq = np.zeros((n, n))
-    cdq = np.zeros((n, n))
-    cddq = np.zeros((n, n))
-    for m in range(n):
-        u = np.zeros(n)
-        u[m] = 1.0
-        q = dq = ddq = 0.0
-        for k in range(n - 1):
-            q, dq, ddq = (
-                q + dt * dq + dt**2 / 2 * ddq + dt**3 / 8 * u[k] + dt**3 / 24 * u[k + 1],
-                dq + dt * ddq + dt**2 / 3 * u[k] + dt**2 / 6 * u[k + 1],
-                ddq + dt / 2 * (u[k] + u[k + 1]),
-            )
-            cq[k + 1, m] = q
-            cdq[k + 1, m] = dq
-            cddq[k + 1, m] = ddq
+    # scalar impulse responses of the jerk chain (per-joint identical;
+    # shared with the closed-form rollout)
+    cq, cdq, cddq = ocp.jerk_chain_profiles(n, float(dt))
 
     dq_s = np.zeros((n, NJ, nx))
     ddq_s = np.zeros((n, NJ, nx))

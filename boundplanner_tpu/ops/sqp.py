@@ -77,9 +77,9 @@ def gauss_newton_sqp(
 
     def body(it, carry):
         if qp_warm_dual:
-            x, lam, merit_prev, done, used, z_prev = carry
+            x, lam, merit_prev, done, used, r_cur, g_cur, z_prev = carry
         else:
-            x, lam, merit_prev, done, used = carry
+            x, lam, merit_prev, done, used, r_cur, g_cur = carry
             z_prev = None
 
         acol_u = None
@@ -131,6 +131,10 @@ def gauss_newton_sqp(
         merit_new = merits[best]
         improved = merit_new < merit_prev - 1e-12
 
+        # carry the accepted candidate's (r, g) so the final cost/viol
+        # need no extra evaluation after the loop
+        r_new = jnp.where(improved, r_c[best], r_cur)
+        g_new = jnp.where(improved, g_c[best], g_cur)
         x_new = jnp.where(improved, cand[best], x)
         lam_new = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8), lam * 10.0)
         merit_next = jnp.where(improved, merit_new, merit_prev)
@@ -141,11 +145,13 @@ def gauss_newton_sqp(
         x = jnp.where(done, x, x_new)
         lam = jnp.where(done, lam, lam_new)
         merit_prev = jnp.where(done, merit_prev, merit_next)
+        r_cur = jnp.where(done, r_cur, r_new)
+        g_cur = jnp.where(done, g_cur, g_new)
         used = used + jnp.where(done, 0, 1)
         done = done | conv | (lam > 1e8)
         if qp_warm_dual:
-            return x, lam, merit_prev, done, used, qp.z
-        return x, lam, merit_prev, done, used
+            return x, lam, merit_prev, done, used, r_cur, g_cur, qp.z
+        return x, lam, merit_prev, done, used, r_cur, g_cur
 
     r0, g0 = eval_fn(x0)
     m0 = merit_of(r0, g0)
@@ -156,14 +162,14 @@ def gauss_newton_sqp(
         m0,
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
+        r0,
+        g0,
     )
     if qp_warm_dual:
-        n_rows = g0.shape[0]
-        carry = carry + (jnp.ones(n_rows, x0.dtype),)
+        carry = carry + (jnp.ones(g0.shape[0], x0.dtype),)
     out = jax.lax.fori_loop(0, iters, body, carry)
-    x, lam, m_f, done, used = out[:5]
+    x, lam, m_f, done, used, r, g = out[:7]
 
-    r, g = eval_fn(x)
     viol = jnp.max(jnp.maximum(g, 0.0))
     return SQPResult(
         x=x,
