@@ -2,6 +2,7 @@
 `RvizTools.py:13-101`, `boundmpcmsg/msg/MPCData.msg`)."""
 
 import numpy as np
+import pytest
 
 from boundplanner_tpu import ros_compat as rc
 
@@ -217,3 +218,13 @@ def test_host_services_drive_mpc_node():
     out = svc.mpc_params(nr_segs=3)
     assert out["success"]
     assert calls["params"].nr_segs == 3 and out["params"]["nr_segs"] == 3
+
+
+@pytest.mark.slow
+def test_rviz_bringup_headless():
+    """The launch-analog script (`examples/rviz_bringup.py`, ref
+    `launch/rviz.launch.py`) runs end to end without rclpy: plans,
+    registers host services, publishes sets/via/tick/joint payloads."""
+    from examples.rviz_bringup import main
+
+    assert main(max_ticks=3) == 3
