@@ -81,6 +81,10 @@ class MPCParams:
     # hurts more than the inherited active set helps. Needs a paired
     # (s, z) least-squares init to revisit.
     qp_warm_dual: bool = False
+    # compute the IPM dual residual's G^T z stream in bfloat16 (bounded
+    # per-iteration rounding of the Newton rhs; NOT the round-1-negative
+    # recursive carry, whose error accumulates)
+    qp_bf16_rd: bool = False
     # Gondzio multiple-centrality correctors per IPM iteration (extra
     # cheap solves against the existing factorization; buys larger steps
     # so fewer IPM iterations carry the same accuracy)
@@ -173,10 +177,17 @@ def perf_mpc_params() -> MPCParams:
       unchanged, MORE path progress (mean phi 0.181 -> 0.200), CPU
       obstacle gate 38 ticks / 0 fallbacks / 0.93 mm. qp4+gondzio1
       costs a fallback on the obstacle gate (40 ticks / 1); qp4+
-      gondzio2 shows a violation blowup (max viol 1.2) — rejected."""
+      gondzio2 shows a violation blowup (max viol 1.2) — rejected.
+    - qp_bf16_rd (round 2): the dual residual's G^T z stream in bf16
+      removes the last f32 full-G passes (5 per QP): 4578 -> 5008
+      solves/s (+9%) with IDENTICAL fleet quality (success 0.9922,
+      viol 0.0084, same phi) and obstacle gate 38 ticks / 0 fallbacks /
+      0.91 mm. Unlike the round-1-negative recursive r_d carry, the
+      bf16 rounding is bounded per iteration and does not accumulate."""
     return MPCParams(sqp_iters=3, qp_iters=5, qp_gondzio=1,
                      line_search_steps=4,
                      pallas_kkt=True, warm_shift=True, qp_bf16=True,
+                     qp_bf16_rd=True,
                      struct_ocp=True, struct_chunked=False)
 
 

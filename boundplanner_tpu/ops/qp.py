@@ -57,7 +57,7 @@ def _step_len(v, dv, tau=0.995):
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every", "struct",
-                     "gondzio"),
+                     "gondzio", "lowp_rd"),
 )
 def solve_qp(
     p_mat: jax.Array,
@@ -77,6 +77,7 @@ def solve_qp(
     link=None,
     h_link: Optional[jax.Array] = None,
     z0: Optional[jax.Array] = None,
+    lowp_rd: bool = False,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -209,7 +210,12 @@ def solve_qp(
             x, s, z, r_p, done = carry
         else:
             x, s, z, r_p, done, l_inv = carry
-        r_d = p_mat @ x + q_vec + gtmv_exact(z)
+        # the dual residual is recomputed (never carried recursively —
+        # that inherits KKT solve error and accumulates, round-1 negative).
+        # lowp_rd computes the G^T z stream in bf16: a BOUNDED per-
+        # iteration rounding of the Newton rhs (absorbed by the line
+        # search), saving the last remaining f32 full-G passes.
+        r_d = p_mat @ x + q_vec + (gtmv(z) if lowp_rd else gtmv_exact(z))
         mu = jnp.dot(s, z) / m
 
         w = z / s                                        # (m,)
