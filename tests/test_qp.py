@@ -185,3 +185,29 @@ def test_kkt_every_frozen_factor(rng):
     np.testing.assert_allclose(
         np.asarray(batched.x[0]), np.asarray(sol0.x), rtol=1e-6, atol=1e-8
     )
+
+
+def test_low_precision_direction_modes_converge(rng):
+    """lowp / lowp_rd (bfloat16 streams with f32 accumulation) still
+    converge to the f32 solution within line-search-absorbable error."""
+    import jax.numpy as jnp
+    from boundplanner_tpu.ops.qp import solve_qp
+
+    for _ in range(5):
+        n, m = 16, 40
+        a = rng.normal(size=(n, n))
+        p = jnp.asarray((a @ a.T + 0.5 * np.eye(n)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(m, n)).astype(np.float32))
+        h = jnp.asarray(rng.uniform(0.1, 1.0, m).astype(np.float32))
+        ref = solve_qp(p, q, g, h, iters=15)
+        low = solve_qp(p, q, g, h, iters=15, lowp=True, lowp_rd=True)
+        # bf16 direction streams leave ~1e-3-scale residuals on these
+        # unit-scale random instances (bounded, non-accumulating); inside
+        # the SQP the merit line search and slacks absorb this — the
+        # closed-loop fleet gates show identical quality. This test pins
+        # the expected error SCALE so a silent blowup would be caught.
+        assert float(low.r_p) < 5e-3
+        np.testing.assert_allclose(
+            np.asarray(low.x), np.asarray(ref.x), atol=5e-2
+        )
