@@ -96,23 +96,23 @@ def main():
     mean_phi = float(np.mean(np.asarray(recs["phi"])[:, -1]))
 
     # --- single-scene per-tick latency distribution (0.1 s budget) ---
+    # batch-1 vmap (not unbatched): the custom_vmap boundary then routes
+    # the KKT factorizations to the Pallas kernel, which wins even with
+    # one live lane of 128 (measured p50 31.9 vs 35.2 ms) — the layout a
+    # single-robot TPU deployment would use.
     one = jax.tree.map(lambda x: x[:1], (cb, q0b, ob))
     lat_roll = jax.jit(
-        lambda c, q, o: closed_loop_rollout(
-            jax.tree.map(lambda x: x[0], c),
-            q[0],
-            jax.tree.map(lambda x: x[0], o),
-            cfg,
-            1,
-        )
+        lambda c, q, o: jax.vmap(
+            lambda cc, qq, oo: closed_loop_rollout(cc, qq, oo, cfg, 1)
+        )(c, q, o)
     )
     _, r1 = lat_roll(*one)
-    _ = float(r1["phi"][-1])  # compile + warm
+    _ = float(np.asarray(r1["phi"]).ravel()[-1])  # compile + warm
     lats = []
     for _i in range(LATENCY_REPS):
         t0 = time.perf_counter()
         _, r1 = lat_roll(*one)
-        _ = float(r1["phi"][-1])
+        _ = float(np.asarray(r1["phi"]).ravel()[-1])
         lats.append(time.perf_counter() - t0)
     lats_ms = 1e3 * np.asarray(lats)
 
