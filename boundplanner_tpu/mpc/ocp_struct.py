@@ -28,6 +28,11 @@ is block-banded by horizon step; after condensing onto the jerk sequence
    gathering each chunk's static column support turns the dense
    (m, 136)^T (m, 136) Gram into one small (~73-column) and one full-width
    product — a further ~1.6x FLOP cut on the remaining Gram work.
+   (Adoption note: the chunk split is the FLOP-minimal mode but measured
+   ~10% SLOWER end to end — its gathers/scatters are data movement the
+   latency-bound tick can't hide; the adopted config runs flat
+   (struct_chunked=False). Same for the factored link rows below:
+   exact, tested, and off by default on measured wall clock.)
 
 Everything here is scene-independent and built once per (n, dt) in numpy;
 the methods are closed over those constants so a scene-``vmap`` broadcasts
