@@ -225,6 +225,29 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     v_out = pick(traj_new["v"], carry.prev_v)
     ps_out = pick(traj_new["pslacks"], carry.prev_pslacks)
 
+    # 6b) safe-stop once the reusable horizon is exhausted. The reference
+    # shifts its previous trajectory by error_count and would run out of
+    # columns after N failures (`BoundMPC.py:728-733` — it assumes
+    # recovery or operator replanning first); replaying the LAST jerk
+    # columns forever integrates into a runaway (constant jerk ->
+    # cubically growing joint state; observed as an absorbing divergence
+    # on a marginal fleet scene). Re-design: when error_count saturates
+    # the shift (>= N-2), command a saturated deadbeat braking jerk on
+    # the MEASURED (dq, ddq) instead, bringing the arm to rest.
+    from ..robot.model import U_MAX
+
+    # gains: with plant step ddq' = ddq + dt u, dq' = dq + dt ddq +
+    # dt^2/2 u, the state feedback u = -(b/dt) ddq - (a/dt^2) dq has
+    # closed-loop eigenvalues inside the unit circle for (a, b) =
+    # (0.5, 1.5) (a deadbeat-style pair like (1, 2) sits ON the circle
+    # and chatters).
+    deep = use_prev & (error_count >= n - 2)
+    u_stop = jnp.clip(
+        -(1.5 / cfg.dt) * meas["ddq0"] - (0.5 / cfg.dt**2) * meas["dq0"],
+        -U_MAX, U_MAX,
+    ).astype(u_out.dtype)
+    u_out = jnp.where(deep, jnp.broadcast_to(u_stop, u_out.shape), u_out)
+
     # 7) horizon telemetry: re-evaluate reference/errors at the committed
     #    trajectory (ref compute_return_data `:750-892`)
     ref_win = {

@@ -56,3 +56,41 @@ def test_infeasible_solve_reuses_previous():
     # recovery: feasible measurement again -> error count resets
     out3 = mpc.step(Q0, zeros, zeros, pose0, np.zeros(6), zeros)
     assert mpc.error_count == 0
+
+
+def test_exhausted_fallback_brakes_to_rest():
+    """Once error_count saturates the reusable-horizon shift (>= N-2),
+    the tick must command the safe-stop braking jerk instead of replaying
+    the stale last jerk columns forever (which integrates into a cubic
+    runaway — observed as an absorbing divergence on a marginal fleet
+    scene before the fix)."""
+    from boundplanner_tpu.robot import kinematics as kin
+    from boundplanner_tpu.utils.integration import integrate_jerk_step
+
+    pose0 = np.array(kin.fk_pose(jnp.asarray(Q0)))
+    r0 = R.from_rotvec(pose0[3:]).as_matrix()
+
+    # impossible convex set: every solve fails, error_count climbs
+    a = np.zeros((15, 3))
+    a[0] = [0.0, 0.0, 1.0]
+    mpc = make_mpc([a], [np.full(15, -50.0)], pose0, r0)
+
+    q, dq, ddq = Q0.copy(), np.zeros(7), np.zeros(7)
+    # give the arm real motion so a stale-jerk replay would run away
+    dq[1] = 0.5
+    jerk = np.zeros(7)
+    speeds = []
+    for _ in range(42):
+        pose = np.array(kin.fk_pose(jnp.asarray(q)))
+        jac = np.array(kin.jacobian_fk(jnp.asarray(q)))
+        out = mpc.step(q, dq, ddq, pose, jac @ dq, jerk)[0]
+        u0, u1 = out["dddq"][:, 0], out["dddq"][:, 1]
+        q, dq, ddq = (np.asarray(x) for x in integrate_jerk_step(
+            jnp.asarray(q), jnp.asarray(dq), jnp.asarray(ddq),
+            jnp.asarray(u0), jnp.asarray(u1), CFG.dt))
+        jerk = u1
+        speeds.append(float(np.linalg.norm(dq)))
+    assert mpc.error_count >= CFG.n - 2  # fallback horizon exhausted
+    # braked to (near) rest, no runaway
+    assert speeds[-1] < 0.02, speeds[-5:]
+    assert np.isfinite(q).all() and np.abs(q).max() < 10.0
