@@ -128,7 +128,15 @@ def gauss_newton_sqp(
         r_c, g_c = jax.vmap(eval_fn)(cand)
         merits = jax.vmap(merit_of)(r_c, g_c)
         merits = jnp.where(jnp.isfinite(merits), merits, jnp.inf)
-        best = jnp.argmin(merits)
+        # tie-break toward the LARGEST step: among candidates within a
+        # relative band of the best merit, take the first (alphas are
+        # ordered descending). A bare argmin flips on f32 noise when two
+        # candidates near-tie, making marginal scenes' closed-loop fate
+        # depend on batch-width codegen (observed); the band makes the
+        # choice deterministic and favors progress.
+        m_min = jnp.min(merits)
+        tol = 1e-5 * jnp.abs(m_min) + 1e-9
+        best = jnp.argmax(merits <= m_min + tol)
         merit_new = merits[best]
         improved = merit_new < merit_prev - 1e-12
 
