@@ -274,10 +274,11 @@ def evaluate_with_jac(x, params, cfg: MPCParams):
 # consumes them as the structured static tail, `mpc/ocp_struct.py`).
 # --------------------------------------------------------------------------
 
-# row indices of the (p, v)-nonlinear rows inside a step's residual block
-_NL_RES_IDX = np.concatenate(
-    [np.arange(0, 15), np.array([25, 26]), np.arange(27, 36)]
-)
+# The (p, v)-nonlinear rows inside a step's residual block are rows
+# 0-14, 25-26 and 27-35; the concatenations in
+# `evaluate_with_jac_structured` (jr_nl[:, :15], jr_nl[:, 15:26]) and the
+# 21/111-row runtime-constraint split in `ocp_struct` encode exactly this
+# layout. Any change to `_step_local`'s row order must update both.
 
 
 def _step_nl(k, p, v, params, cfg: MPCParams):

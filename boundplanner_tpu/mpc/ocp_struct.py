@@ -274,14 +274,36 @@ class OCPStruct:
         """G_run^T diag(w) G_run with the causal-support chunk split.
 
         ``lowp`` streams the chunk matrices in bfloat16 with f32
-        accumulation (same contract as `ops.qp.solve_qp`'s Gram)."""
+        accumulation (same contract as `ops.qp.solve_qp`'s Gram).
+
+        Invariant: when ``chunked``, ``g_run`` must carry the FULL m_run
+        runtime-row layout — the chunk split assumes rows 0..rows_a are
+        exactly steps 1..half of that layout.  A shorter matrix (e.g. the
+        struct_link dense-row subset, m_dense rows) would be silently
+        clipped by ``mat[:rows_a]`` and produce a wrong Gram, so it is
+        rejected at trace time."""
         rows_a = self.half * self.per_step_g if self.chunked else 0
+        if rows_a and g_run.shape[0] != self.m_run:
+            raise ValueError(
+                f"gram_g(chunked=True) needs the full m_run={self.m_run} "
+                f"row layout, got {g_run.shape[0]} rows; build the "
+                "OCPStruct with chunked=False for partial-row matrices"
+            )
         return self._gram(g_run, rows_a, w, lowp)
 
     def gram_r(self, j_res):
         """J_r^T J_r (unweighted, f32) with the same chunk split — the
-        Gauss-Newton Hessian's dominant product."""
+        Gauss-Newton Hessian's dominant product.
+
+        Same row-layout invariant as :meth:`gram_g` (m_r rows when
+        chunked)."""
         rows_a = self.half * self.per_step_r if self.chunked else 0
+        if rows_a and j_res.shape[0] != self.m_r:
+            raise ValueError(
+                f"gram_r(chunked=True) needs the full m_r={self.m_r} "
+                f"row layout, got {j_res.shape[0]} rows; build the "
+                "OCPStruct with chunked=False for partial-row matrices"
+            )
         return self._gram(j_res, rows_a, None, False)
 
     def _gram(self, mat, rows_a: int, w, lowp: bool):

@@ -30,8 +30,11 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
     else:
         eval_jac_fn = None
     use_struct = cfg.struct_ocp and cfg.struct_tail
-    if cfg.struct_link:
-        assert use_struct and not cfg.struct_chunked, (
+    if cfg.struct_link and not (use_struct and not cfg.struct_chunked):
+        # ValueError, not assert: `python -O` strips asserts, and a
+        # struct_link+struct_chunked config would silently hit the
+        # wrong-Gram path (`ocp_struct.gram_g` row-layout invariant).
+        raise ValueError(
             "struct_link requires struct_tail=True, struct_chunked=False"
         )
     return gauss_newton_sqp(

@@ -276,7 +276,10 @@ def solve_qp(
         alpha_p = _step_len(s, ds_a)
         alpha_d = _step_len(z, dz_a)
         mu_aff = jnp.dot(s + alpha_p * ds_a, z + alpha_d * dz_a) / m
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+        # dtype-aware floor: a 1e-300 literal underflows to 0.0 in f32 (the
+        # production dtype) and would guard nothing when mu == 0
+        tiny = jnp.finfo(dtype).tiny
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, tiny)) ** 3, 0.0, 1.0)
 
         # corrector
         r_c = s * z - sigma * mu + ds_a * dz_a
@@ -289,7 +292,10 @@ def solve_qp(
         # trial complementarity products of an extended step back into a
         # neighborhood of the central path — buys larger steps per
         # factorization, i.e. fewer IPM iterations for the same accuracy.
-        mu_t = jnp.maximum(sigma * mu, 1e-300)
+        # same dtype-aware floor: with an underflowed literal the Gondzio
+        # clip band would collapse to [0, 0] whenever sigma*mu == 0 and
+        # t_corr would target exact-zero complementarity
+        mu_t = jnp.maximum(sigma * mu, tiny)
         for _ in range(gondzio):
             a_try_p = jnp.minimum(alpha_p + 0.08, 1.0)
             a_try_d = jnp.minimum(alpha_d + 0.08, 1.0)

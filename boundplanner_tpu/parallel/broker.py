@@ -74,7 +74,12 @@ class BatchBroker:
     this call's slice of the results as numpy.
     """
 
-    def __init__(self, linger: float = 0.030, max_batch: int = 64):
+    def __init__(self, linger: float = 0.003, max_batch: int = 64):
+        # Default linger is SHORT (3 ms): every leader call sleeps the full
+        # window before executing, so low-concurrency callers should not pay
+        # a coalescing budget. The fleet builder, whose 16-thread
+        # measurement motivated a longer window (ROUND2_NOTES broker entry),
+        # passes linger=0.030 explicitly via `build_fleet_threaded`.
         self.linger = linger
         self.max_batch = max_batch
         self._lock = threading.Lock()

@@ -171,12 +171,16 @@ def test_link_operators_match_dense_block(setup):
         np.asarray(st.link_gram(acol_u, aj, jnp.asarray(w))),
         j_link.T @ (w[:, None] * j_link), atol=1e-8,
     )
-    # full QP solution equality
+    # full QP solution equality — the link path carries only the m_dense
+    # runtime rows, so it must use a chunked=False struct (the solver-side
+    # invariant enforced in `mpc/solver.py`; `gram_g` rejects partial-row
+    # matrices under chunked=True)
+    st_flat = ocp_struct.build(cfg.n, cfg.dt, chunked=False)
     hess = 2.0 * jr1.T @ jr1 + 1e-4 * jnp.eye(st.nx, dtype=x.dtype)
     grad = 2.0 * jr1.T @ r1
     sol0 = solve_qp(hess, grad, jg0, -g0, iters=20)
     md, ml = st.m_dense, st.m_link
-    sol1 = solve_qp(hess, grad, jgd, -g1[:md], iters=20, struct=st,
+    sol1 = solve_qp(hess, grad, jgd, -g1[:md], iters=20, struct=st_flat,
                     h_tail=-g1[md + ml:], link=(acol_u, aj),
                     h_link=-g1[md : md + ml])
     # row reordering changes the IPM's iterate path; solutions agree to
@@ -184,6 +188,37 @@ def test_link_operators_match_dense_block(setup):
     np.testing.assert_allclose(np.asarray(sol1.x), np.asarray(sol0.x),
                                atol=1e-5)
     assert bool(sol0.success) and bool(sol1.success)
+
+
+def test_chunked_gram_rejects_partial_rows(setup):
+    """A chunked-struct Gram over a partial-row matrix (e.g. the
+    struct_link dense-row subset) must raise, not silently clip rows —
+    the ADVICE r2 wrong-Gram path."""
+    cfg, params, xs, st = setup
+    assert st.chunked
+    x = jnp.asarray(xs[1])
+    cfg_l = dataclasses.replace(cfg, struct_ocp=True, struct_chunked=False,
+                                struct_link=True)
+    _, _, _, jgd, _ = ocp_jac.evaluate_with_jac_structured(x, params, cfg_l)
+    assert jgd.shape[0] == st.m_dense != st.m_run
+    w = jnp.ones(st.m_dense)
+    with pytest.raises(ValueError, match="m_run"):
+        st.gram_g(jgd, w)
+    with pytest.raises(ValueError, match="m_r"):
+        st.gram_r(jgd)
+
+
+def test_struct_link_chunked_config_rejected():
+    """struct_link + struct_chunked must raise (not assert) so the
+    invariant survives `python -O`."""
+    import jax.numpy as jnp
+
+    from boundplanner_tpu.mpc.bound_mpc import mpc_tick
+
+    cfg = MPCParams(struct_ocp=True, struct_chunked=True, struct_link=True)
+    carry, meas, obs, q0 = demo_scene(cfg, dtype=np.float64)
+    with pytest.raises(ValueError, match="struct_link"):
+        mpc_tick(carry, meas, obs, cfg)
 
 
 def test_tick_struct_link_matches(setup):
