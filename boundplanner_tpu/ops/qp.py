@@ -393,6 +393,26 @@ def solve_feasibility(g_mat, h_vec, x0=None, iters: int = 30, eps: float = 1e-6)
     Replaces the qpOASES "fit" feasibility probes
     (`optimization_functions.py:140-183`) and the HiGHS intersection LP
     (`BoundPlanner.py:774-787`). Returns (x, t, sol): feasible iff t <~ 0.
+
+    Boundedness invariant (audited round 3): the eps-regularization makes
+    the QP strongly convex, so it never diverges — but on a ROW SET whose
+    phase-1 variable t is unbounded below (no row clamps it), t slides to
+    -1/(2 eps) (~-5e5) with |x| of matching magnitude: finite yet useless,
+    and in f32 rounding-dominated. Every in-repo caller is safe, for one
+    of two reasons:
+
+    - planner intersection / EE-fit probes (`planner/planner.py`,
+      `planner/via_opt.py`): (a) every set from `planner.set_finder`
+      starts with the 6 workspace box rows
+      (`set_finder._init_rows_workspace`, ref `ConvexSetFinder.py:377-398`),
+      so x itself is bounded; and (b) independently, the `_pad` inactive
+      rows (zero normal, b=10) read 0.x <= 10 + t, i.e. they clamp
+      t >= -10, so even a degenerate padded problem stays at O(10) scale.
+    - `ops.mvie._chebyshev_center` concatenates its own radius-10 box.
+
+    A caller passing UNPADDED rows that bound neither x nor t gets the
+    -1/(2 eps) drift. Both regimes are pinned by
+    `tests/test_qp.py::test_feasibility_unbounded_polytope`.
     """
     n = g_mat.shape[1]
     m = h_vec.shape[0]

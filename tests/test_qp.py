@@ -129,6 +129,63 @@ def test_feasibility_infeasible():
     assert float(t) > 0.9  # violation ~1
 
 
+def test_feasibility_unbounded_polytope():
+    """Degenerate inputs (VERDICT r2 weak #6), both regimes of the
+    `solve_feasibility` docstring.
+
+    (a) Truly unbounded rows (nothing clamps the phase-1 t): the
+        eps-regularized QP stays finite (never NaN/inf) but drifts to the
+        -1/(2 eps) scale — useless, hence the caller invariant.
+    (b) Planner-padded rows: the inactive padding rows (zero normal,
+        b=10) read 0.x <= 10 + t and clamp t >= -10, so a padded problem
+        is benign O(10) even without workspace rows."""
+    # (a) one bare halfspace
+    g1 = np.array([[1.0, 0.0, 0.0]])
+    h1 = np.array([0.0])
+    x, t, sol = solve_feasibility(jnp.asarray(g1), jnp.asarray(h1))
+    x, t = np.asarray(x), float(t)
+    assert np.all(np.isfinite(x)) and np.isfinite(t)
+    assert t < -1e4 and np.linalg.norm(x) > 1e4  # detectably degenerate
+
+    # (b) same halfspace + planner-style inactive padding rows
+    g = np.zeros((8, 3))
+    g[0] = [1.0, 0.0, 0.0]
+    h = 10.0 * np.ones(8)
+    h[0] = 0.0
+    xp, tp, _ = solve_feasibility(jnp.asarray(g), jnp.asarray(h))
+    np.testing.assert_allclose(float(tp), -10.0, atol=1e-6)
+    assert np.linalg.norm(np.asarray(xp)) < 11.0
+
+    # a bounding box restores a sane strictly-feasible answer
+    g_box = np.vstack([g, np.eye(3), -np.eye(3)])
+    h_box = np.concatenate([h, np.ones(6)])
+    xb, tb, _ = solve_feasibility(jnp.asarray(g_box), jnp.asarray(h_box))
+    assert -1.1 < float(tb) < 0 and np.linalg.norm(np.asarray(xb)) < 2.0
+
+
+def test_planner_sets_carry_workspace_rows():
+    """The caller-side boundedness invariant: every set emitted by the
+    set finder starts from the 6 workspace box rows, so intersection/fit
+    feasibility problems are always bounded (`solve_feasibility`
+    docstring)."""
+    from boundplanner_tpu.planner.set_finder import (
+        build_obstacle_arrays, find_set_around_point)
+
+    obs = build_obstacle_arrays([[0.25, -0.15, 0.0, 0.45, 0.15, 0.8]], 0.08)
+    ws_min = jnp.asarray(np.array([-1.0, -1.0, 0.0]))
+    ws_max = jnp.asarray(np.array([1.0, 1.0, 1.2]))
+    a, b, *_ = find_set_around_point(
+        jnp.asarray(np.array([-0.3, -0.4, 0.3])), obs, ws_min, ws_max,
+        fixed_mid=False, n_rows=20,
+    )
+    a, b = np.asarray(a), np.asarray(b)
+    # a bounded direction test: max <d, x> over {Ax<=b} is finite for all
+    # +-e_i directions iff the rows bound the box directions
+    for d in np.vstack([np.eye(3), -np.eye(3)]):
+        res = sopt.linprog(-d, A_ub=a, b_ub=b, bounds=(None, None))
+        assert res.status == 0, f"unbounded along {d}"
+
+
 def test_lp_intersection(rng):
     """Set-intersection LP parity with scipy linprog (`BoundPlanner.py:774-787`)."""
     for _ in range(10):
