@@ -128,8 +128,8 @@ class BatchBroker:
         return ticket.result
 
 
-def register_planner_kernels(broker: BatchBroker, max_set_size: int = 20,
-                             device_search: bool = False):
+def register_planner_kernels(broker, max_set_size: int = 20,
+                             device_search: bool = False, max_via: int = 6):
     """Register the BoundPlanner device-kernel surface on a broker.
 
     Keys match the wrapper methods in `planner.BoundPlanner` (which route
@@ -143,10 +143,20 @@ def register_planner_kernels(broker: BatchBroker, max_set_size: int = 20,
     microsecond host Dijkstra, so it only pays when fleets of planners
     actually coalesce (measured decision in ROUND2_NOTES).
     """
+    import functools
+
     from ..ops.mvie import mvie
     from ..ops.qp import solve_feasibility, solve_projection
     from ..planner.set_finder import find_set_around_point, find_set_line
-    from ..planner.via_opt import fit_ee_in_set
+    from ..planner.via_opt import fit_ee_in_set, solve_via_rot
+
+    # the via-rotation NLP is shape-static per via count; register one key
+    # per count so same-count scenes coalesce (`planner._via_points_for`
+    # falls back to a direct call for rarer, larger counts)
+    for k in range(1, max_via + 1):
+        broker.register(
+            f"via_rot_{k}", functools.partial(solve_via_rot, nr_via=k)
+        )
 
     if device_search:
         from ..planner.device_search import shortest_path_device

@@ -379,20 +379,30 @@ class BoundPlanner:
             b_v = np.stack(
                 [_pad(s[0], s[1], FIT_ROWS)[1] for s in seg_sets[: nr_via + 1]]
             )
-            res = solve_via_rot(
-                jnp.asarray(x0),
-                jnp.asarray(np.asarray(start, float)),
-                jnp.asarray(np.asarray(end, float)),
-                jnp.asarray(self.l_ee),
-                jnp.asarray(self.omega_normed),
-                jnp.asarray(self.omega_norm),
-                jnp.asarray(np.asarray(w_size_via, float)),
-                jnp.asarray(a_i),
-                jnp.asarray(b_i),
-                jnp.asarray(a_v),
-                jnp.asarray(b_v),
-                nr_via=nr_via,
-            )
+            via_key = f"via_rot_{nr_via}"
+            if self.broker is not None and via_key in getattr(self.broker, "_fns", {}):
+                # coalesce same-via-count scenes' NLPs into one vmapped SQP
+                res = self.broker.call(
+                    via_key, x0, np.asarray(start, float), np.asarray(end, float),
+                    np.asarray(self.l_ee, float), np.asarray(self.omega_normed, float),
+                    np.asarray(self.omega_norm, float), np.asarray(w_size_via, float),
+                    a_i, b_i, a_v, b_v,
+                )
+            else:
+                res = solve_via_rot(
+                    jnp.asarray(x0),
+                    jnp.asarray(np.asarray(start, float)),
+                    jnp.asarray(np.asarray(end, float)),
+                    jnp.asarray(self.l_ee),
+                    jnp.asarray(self.omega_normed),
+                    jnp.asarray(self.omega_norm),
+                    jnp.asarray(np.asarray(w_size_via, float)),
+                    jnp.asarray(a_i),
+                    jnp.asarray(b_i),
+                    jnp.asarray(a_v),
+                    jnp.asarray(b_v),
+                    nr_via=nr_via,
+                )
             if not bool(res.success):
                 self._log(
                     f"(PosOpt) ERROR No convergence in via point rot optimization "
