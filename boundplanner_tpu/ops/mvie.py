@@ -23,10 +23,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_TRI_ROWS = jnp.array([0, 1, 1, 2, 2, 2])
-_TRI_COLS = jnp.array([0, 0, 1, 0, 1, 2])
-_DIAG_IDX = jnp.array([0, 2, 5])
+# numpy (not jnp): module-level device arrays would initialize the JAX
+# backend at import time, which breaks CPU-forcing in spawned fleet
+# planning workers (the preset tunnel platform wins before any
+# jax.config.update can run)
+_TRI_ROWS = np.array([0, 1, 1, 2, 2, 2])
+_TRI_COLS = np.array([0, 0, 1, 0, 1, 2])
+_DIAG_IDX = np.array([0, 2, 5])
 
 
 def _tri_to_mat(tri):

@@ -183,6 +183,155 @@ def build_fleet_sync(
     return carry_b, q0_b, obs_b, brk
 
 
+def _mp_worker_init(counter, n_cpus):
+    """Pool initializer: force the CPU backend and pin the worker to one
+    core.
+
+    The preset tunnel platform is reinstated at interpreter startup in
+    every child, so the JAX_PLATFORMS env var CANNOT select cpu (CLAUDE.md)
+    — only jax.config.update can, and it must run before the first backend
+    use (verified: without it, pool workers silently plan on the tunnel
+    TPU at ~5 s/draw and contend with the benchmark process). Pinning
+    stops the per-process XLA/BLAS pools from migrating and
+    spin-contending."""
+    import os as _os
+
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    with counter.get_lock():
+        idx = counter.value
+        counter.value += 1
+    if n_cpus > 0:
+        try:
+            _os.sched_setaffinity(0, {idx % n_cpus})
+        except (AttributeError, OSError):  # pragma: no cover - non-linux
+            pass
+
+
+def _mp_plan_block(args):
+    """Plan one block of draws in a worker process (top-level for spawn
+    pickling). Returns [(draw, carry, obs)] for the successful draws."""
+    draws, q0, n_obstacles, seed, cfg, dtype_name = args
+    if jax.default_backend() != "cpu":  # pragma: no cover - misconfig guard
+        raise RuntimeError(
+            "fleet planning worker must run on the CPU backend, got "
+            f"{jax.default_backend()!r} (tunnel TPUs must never see "
+            "concurrent processes)"
+        )
+    dtype = np.dtype(dtype_name).type
+    out = []
+    for draw in draws:
+        rng_i = np.random.default_rng(seed + 1000 * draw)
+        obstacles, goal = random_scene(rng_i, n_obstacles)
+        planned = plan_scene(q0, goal, obstacles, seed + draw, cfg, dtype)
+        if planned is not None:
+            out.append((draw, planned[0], planned[1]))
+    return out
+
+
+def build_fleet_mp(
+    batch: int,
+    cfg: MPCParams,
+    q0=None,
+    n_obstacles: int = 3,
+    seed: int = 0,
+    dtype=np.float32,
+    n_procs: int | None = None,
+    block: int = 32,
+    pin: bool = True,
+    single_thread: bool = True,
+    x64: bool = False,
+):
+    """Plan a LARGE fleet with a pool of CPU worker processes (BASELINE
+    config 5 scale: 10k+ scenes).
+
+    Planning is host-python + small jitted CPU kernels; thread-based
+    builders are GIL-bound, so for 10k-scene fleets the scaling axis is
+    processes. The draw scheme matches `build_fleet_threaded` /
+    `build_fleet_sync` (scene ``draw`` uses rng seed ``seed + 1000*draw``,
+    planner seed ``seed + draw``), and the result is deterministic
+    regardless of scheduling: draws 1..M are planned and the first
+    ``batch`` successes in draw order are kept.
+
+    Returns (carry_b, q0_b, obs_b, info) with plans/s in ``info``.
+    """
+    import multiprocessing as mp
+    import os
+    import time as _time
+
+    from ..demo import DEMO_Q0
+
+    q0 = DEMO_Q0.copy() if q0 is None else np.asarray(q0, float)
+    n_procs = n_procs or max(1, (os.cpu_count() or 2))
+    # plan a deterministic draw superset with margin for failed plans
+    # (measured failure rate is a few %; re-raise if the margin is blown)
+    n_draws = batch + max(min(64, batch), batch // 8)
+    blocks = [
+        list(range(lo + 1, min(lo + block, n_draws) + 1))
+        for lo in range(0, n_draws, block)
+    ]
+    tasks = [
+        (d, q0, n_obstacles, seed, cfg, np.dtype(dtype).name) for d in blocks
+    ]
+    t0 = _time.perf_counter()
+    ctx = mp.get_context("spawn")
+    results = {}
+    # Children must come up on the CPU backend: module import during task
+    # unpickling can initialize JAX's backend before any code of ours runs
+    # in the child, so a config.update there is too late — instead flip the
+    # env var the child reads at import. Spawn children snapshot the
+    # parent's os.environ at launch; the parent's own (already-initialized)
+    # backend is unaffected, and the value is restored immediately.
+    env_override = {"JAX_PLATFORMS": "cpu"}
+    if x64:
+        # parity with x64 in-process builds (tests); production fleets for
+        # the TPU bench stay f32
+        env_override["JAX_ENABLE_X64"] = "1"
+    if single_thread:
+        # single-threaded XLA/BLAS per worker: the kernels are tiny and the
+        # spin-waiting pools of n_procs processes otherwise thrash the cores
+        env_override.update(
+            XLA_FLAGS="--xla_cpu_multi_thread_eigen=false "
+            "intra_op_parallelism_threads=1",
+            OPENBLAS_NUM_THREADS="1",
+            OMP_NUM_THREADS="1",
+        )
+    saved = {k: os.environ.get(k) for k in env_override}
+    os.environ.update(env_override)
+    counter = ctx.Value("i", 0)
+    try:
+        with ctx.Pool(
+            processes=n_procs,
+            initializer=_mp_worker_init,
+            initargs=(counter, (os.cpu_count() or 1) if pin else 0),
+        ) as pool:
+            for blk in pool.imap_unordered(_mp_plan_block, tasks):
+                for draw, carry, obs in blk:
+                    results[draw] = (carry, obs)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    wall = _time.perf_counter() - t0
+    if len(results) < batch:
+        raise RuntimeError(f"only {len(results)}/{batch} scenes planned")
+    ordered = [results[k] for k in sorted(results)[:batch]]
+    carry_b = jax.tree.map(lambda *xs: np.stack(xs), *[o[0] for o in ordered])
+    obs_b = jax.tree.map(lambda *xs: np.stack(xs), *[o[1] for o in ordered])
+    q0_b = np.broadcast_to(q0.astype(dtype), (batch, 7)).copy()
+    info = {
+        "planned": len(results),
+        "draws": n_draws,
+        "wall_s": wall,
+        "plans_per_s": len(results) / wall,
+        "n_procs": n_procs,
+    }
+    return carry_b, q0_b, obs_b, info
+
+
 def build_fleet_threaded(
     batch: int,
     cfg: MPCParams,

@@ -240,3 +240,44 @@ def test_sync_fleet_build_matches_threaded():
         np.testing.assert_allclose(leaf_s, leaf_t, atol=1e-5)
     assert brk_s.calls_served > 0
     assert brk_s.stats["mean_width"] > 1.5  # barrier actually coalesces
+
+
+@pytest.mark.slow
+def test_mp_fleet_build_matches_direct():
+    """build_fleet_mp (process pool) reproduces direct in-process planning
+    of the same draw scheme bit-for-bit (both use the unbrokered kernel
+    path; brokered builders at width>1 may legitimately diverge — vmapped
+    batches reassociate float ops and the planner's discrete decisions
+    amplify the difference into a different, equally valid plan)."""
+    import jax
+
+    from boundplanner_tpu.config import MPCParams
+    from boundplanner_tpu.demo import DEMO_Q0
+    from boundplanner_tpu.parallel.fleet import (
+        build_fleet_mp,
+        plan_scene,
+        random_scene,
+    )
+
+    cfg = MPCParams(sqp_iters=2, qp_iters=5, line_search_steps=2)
+    carry_m, q0_m, obs_m, info = build_fleet_mp(
+        4, cfg, n_obstacles=2, seed=3, n_procs=2, block=2, x64=True
+    )
+    assert info["planned"] >= 4
+
+    # direct, same draw scheme (draw 1..): rng seed + 1000*draw, planner
+    # seed + draw; first 4 successes in draw order
+    direct = []
+    draw = 0
+    while len(direct) < 4:
+        draw += 1
+        rng_i = np.random.default_rng(3 + 1000 * draw)
+        obstacles, goal = random_scene(rng_i, 2)
+        out = plan_scene(DEMO_Q0.copy(), goal, obstacles, 3 + draw, cfg)
+        if out is not None:
+            direct.append(out)
+    carry_d = jax.tree.map(lambda *xs: np.stack(xs), *[o[0] for o in direct])
+    for leaf_m, leaf_d in zip(
+        jax.tree.leaves(carry_m), jax.tree.leaves(carry_d)
+    ):
+        np.testing.assert_allclose(leaf_m, leaf_d, atol=1e-7)
