@@ -192,14 +192,76 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     dtype = meas["q0"].dtype
     acc = 0.005  # in-set accuracy of the switching test (ref `BoundMPC.py:917`)
 
+    # 0) in-scan re-anchor after safe-stop (re-design; round-3). The
+    # reference's recovery for a persistently failing solve is operator
+    # replanning through `BoundMPC.update` (`BoundMPC.py:271-336`), which
+    # re-projects phi onto the path (`:313-322`). The fused tick gets the
+    # same re-anchor WITHOUT leaving the scan: once the fallback horizon is
+    # exhausted (safe-stop braking, step 6b) and the arm is at rest, reset
+    # the path-progress state to the projection of the PARKED pose onto the
+    # current window segment, clear the accumulated slacks/split state, and
+    # cold-start the solve. A successful re-anchored solve resumes
+    # tracking (error_count drops to 0 in step 6); a failing one keeps the
+    # arm parked — braking and fallback semantics are untouched.
+    deep_prev = carry.error_count >= jnp.asarray(n - 2, jnp.int32)
+    # quasi-static is enough for the projection anchor; the braking
+    # controller converges geometrically, so a tight threshold only delays
+    # the re-anchor by ticks
+    at_rest = jnp.max(jnp.abs(meas["dq0"])) < 0.1
+    reanchor = deep_prev & at_rest & carry.has_prev
+    win_r = path_window(carry.path, nr_segs)
+    # anchor clamped into segment 0's phi extent: a pose parked BEYOND the
+    # window's end projects past the hard phi-cap row (`_step_nl`'s
+    # phi <= phi_end_seg + 0.005), which no control can satisfy — that
+    # case is host-replanning territory (`BoundMPC.update`), and clamping
+    # at least keeps the weight shaping/warm start consistent
+    phi_anchor = win_r["phi_switch"][0] + jnp.dot(
+        meas["p0"][:3] - win_r["p_ref"][0][:3], win_r["dp_ref"][0][:3]
+    )
+    phi_anchor = jnp.clip(
+        phi_anchor, win_r["phi_switch"][0], win_r["phi_switch"][1]
+    )
+    dphi_anchor = jnp.dot(meas["v0"][:3], win_r["dp_ref"][0][:3])
+    pr_anchor = prep.integrate_rotation_reference(
+        so3.matrix_to_rotvec(win_r["r_vias"][0]),
+        win_r["dp_ref"][0][3:],
+        win_r["phi_switch"][0],
+        phi_anchor,
+    )
+    iw_anchor = win_r["p_ref"][0][3:] + (
+        phi_anchor - win_r["phi_switch"][0]
+    ) * win_r["dp_ref"][0][3:]
+    split_reset = jnp.asarray([0] + [n] * nr_segs, jnp.int32)
+    pick_anchor = lambda a, b: jnp.where(reanchor, a, b)
+    carry = carry._replace(
+        phi_current=pick_anchor(phi_anchor, carry.phi_current),
+        dphi_current=pick_anchor(dphi_anchor, carry.dphi_current),
+        pr_ref=pick_anchor(pr_anchor, carry.pr_ref),
+        iw_ref=pick_anchor(iw_anchor, carry.iw_ref),
+        slacks0=pick_anchor(jnp.zeros_like(carry.slacks0), carry.slacks0),
+        split_idx=pick_anchor(split_reset, carry.split_idx),
+        switch=carry.switch & ~reanchor,
+    )
+
     params, path, win, proj = build_tick_params(carry, meas, obs, cfg)
 
-    # 5) solve (warm start: previous decision vector, ref `:412-418`)
+    # 5) solve (warm start: previous decision vector, ref `:412-418`).
+    # Re-anchored (parked) ticks warm-start UNSHIFTED from x_prev: the arm
+    # is at rest, so the measurements are frozen and consecutive parked
+    # ticks form one continued SQP — x_prev carries the parked iterate
+    # across ticks even while unsuccessful (step 10), so each tick adds
+    # sqp_iters more Gauss-Newton iterations instead of re-running the
+    # same cold start to the same plateau (a cold 3-iteration solve stalls
+    # at viol ~3e-3, above the 1e-4 success bar; measured round 3).
     x_warm = (
         ocp.shift_warm_start(carry.x_prev, cfg) if cfg.warm_shift
         else carry.x_prev
     )
-    x0 = jnp.where(carry.has_prev, x_warm, jnp.zeros_like(carry.x_prev))
+    x0 = jnp.where(
+        carry.has_prev,
+        jnp.where(reanchor, carry.x_prev, x_warm),
+        jnp.zeros_like(carry.x_prev),
+    )
     sol = solve_sqp(x0, params, cfg)
 
     # 6) infeasibility fallback (ref `:619-645`)
@@ -234,16 +296,36 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     # on a marginal fleet scene). Re-design: when error_count saturates
     # the shift (>= N-2), command a saturated deadbeat braking jerk on
     # the MEASURED (dq, ddq) instead, bringing the arm to rest.
-    from ..robot.model import U_MAX
+    from ..robot.model import Q_LIM_LOWER, Q_LIM_UPPER, U_MAX
 
     # gains: with plant step ddq' = ddq + dt u, dq' = dq + dt ddq +
     # dt^2/2 u, the state feedback u = -(b/dt) ddq - (a/dt^2) dq has
     # closed-loop eigenvalues inside the unit circle for (a, b) =
     # (0.5, 1.5) (a deadbeat-style pair like (1, 2) sits ON the circle
     # and chatters).
+    # Round-3 addition: a position term pulling q back INSIDE the joint
+    # limits (with margin) when braking overran them — a parked pose
+    # outside a hard bound is unrecoverable by ANY solve (the horizon's
+    # first steps inherit the violation through the bounded-jerk
+    # dynamics), so the re-anchor (step 0) would retry forever. The term
+    # is EXACTLY zero when q is within limits (clip(q) == q), keeping the
+    # pure braking behavior there. Continuous-time poles of
+    # s^3 + (1.5/dt)s^2 + (0.5/dt^2)s + (0.08/dt^3): Routh 1.5*0.5 > 0.08
+    # -> stable crawl back into the box.
     deep = use_prev & (error_count >= n - 2)
+    q_target = jnp.clip(
+        meas["q0"],
+        jnp.asarray(Q_LIM_LOWER, dtype) + 0.03,
+        jnp.asarray(Q_LIM_UPPER, dtype) - 0.03,
+    )
+    # a corrupted q measurement (NaN sensor fault — the very failure that
+    # can drive the tick here) must not poison the braking command:
+    # position feedback needs a valid q, velocity-only braking does not
+    pos_term = (0.08 / cfg.dt**3) * (q_target - meas["q0"])
+    pos_term = jnp.where(jnp.isfinite(pos_term), pos_term, 0.0)
     u_stop = jnp.clip(
-        -(1.5 / cfg.dt) * meas["ddq0"] - (0.5 / cfg.dt**2) * meas["dq0"],
+        pos_term
+        - (1.5 / cfg.dt) * meas["ddq0"] - (0.5 / cfg.dt**2) * meas["dq0"],
         -U_MAX, U_MAX,
     ).astype(u_out.dtype)
     u_out = jnp.where(deep, jnp.broadcast_to(u_stop, u_out.shape), u_out)
@@ -395,7 +477,22 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
         phi_current=phis[1],
         dphi_current=dphis[1],
         slacks0=slacks0_new,
-        x_prev=jnp.where(success, sol.x, carry.x_prev),
+        # parked ticks carry the (possibly unsuccessful) iterate so the
+        # continued-SQP warm start above keeps making progress. On an
+        # ORDINARY failed tick, carry the SHIFTED warm start instead of
+        # the raw stale solution: the plant replays the old plan one step
+        # per failed tick (`pick` above, ref `BoundMPC.py:728-733`), so
+        # the warm start must keep shifting with it — a warm start shifted
+        # only once but used k failed ticks later is progressively
+        # misaligned, and the resulting solve failures cascade (observed:
+        # a single marginal-tick miss on the scene-43 replay parked the
+        # whole run once the float noise of an unrelated change moved the
+        # miss to a different tick).
+        x_prev=jnp.where(
+            success | reanchor,
+            sol.x,
+            jnp.where(carry.has_prev, x_warm, carry.x_prev),
+        ),
         has_prev=carry.has_prev | success,
         error_count=error_count,
         prev_q=jnp.where(success, traj_new["q"], carry.prev_q),

@@ -405,13 +405,23 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     # set rows (15): NL part - pslack trajectory; band rows (6): NL -+ rslack
     jg_set = jg_nl[:, :15, :] - dps_traj[:, None, :]
     jg_band = jg_nl[:, 15:21, :] - drs_traj[:, None, :]
-    # link rows (90): linear in p_col through the per-scene set matrices
-    acol_x = jnp.einsum("klij,kjx->klix", acol, dq_r)  # (n-1, 6, 3, nx)
+    # link rows (90): linear in p_col through the per-scene set matrices.
+    # Contraction REASSOCIATED for the TPU (round-3 trace finding: the
+    # previous acol_x (n-1, 6, 3, nx) intermediate + its (6,15)->90 merge
+    # reshape cost ~2 ms/tick in pure layout copies — the (8,128) tile
+    # pads the 3-dim 2.7x and the merge is a physical copy): contract the
+    # TINY dims first (A_l . acol over i, 3 MACs) into ab (n-1, 90, 7),
+    # then ONE well-tiled batched (90, 7) @ (7, nx) MXU matmul emits the
+    # link block directly in its final row-major shape. Same math, float
+    # reassociation only (full gate set re-run, see ROUND3_NOTES).
     if not cfg.struct_link:
-        jg_link = jnp.einsum(
-            "lri,klix->klrx", params["a_set_joints"], acol_x
-        ) - ddsl[:NUM_LINK_SETS][None, :, None, :]
-        jg_link = jg_link.reshape(n - 1, NUM_LINK_SETS * MPC_SET_ROWS, nx)
+        ab = jnp.einsum(
+            "lri,klij->klrj", params["a_set_joints"], acol
+        ).reshape(n - 1, NUM_LINK_SETS * MPC_SET_ROWS, NJ)
+        ddsl_link = jnp.repeat(
+            ddsl[:NUM_LINK_SETS], MPC_SET_ROWS, axis=0
+        )  # (90, nx)
+        jg_link = jnp.einsum("krj,kjx->krx", ab, dq_r) - ddsl_link[None]
         jg_steps = jnp.concatenate(
             [jg_set, jg_band, jg_link, jg_nl[:, 21:22, :]], axis=1
         )
@@ -419,12 +429,15 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     # ---- terminal rows (values + 61-tangent local jacfwd, one step) ----
     g_term = ocp._terminal_local(zs[-1], params, cfg)
     jg_term_z = jax.jacfwd(lambda zz: ocp._terminal_local(zz, params, cfg))(zs[-1])
+    # terminal-step acol tangents only (the full acol_x intermediate is
+    # gone from the dense path — see the link-row reassociation above)
+    acol_x_last = jnp.einsum("lij,jx->lix", acol[-1], dq_r[-1])
     dz_last = jnp.concatenate(
         [
             dq_r[-1], ddq_r[-1], du_r[-1], dp[-1], dv[-1],
             drs_traj[-1][None], ddrs[-1][None], dps_traj[-1][None],
             ddps[-1][None], ddsl,
-            acol_x[-1].reshape(NUM_LINK_SETS * 3, nx),
+            acol_x_last.reshape(NUM_LINK_SETS * 3, nx),
         ]
     )  # (N_Z, nx)
     jg_term = jg_term_z @ dz_last
@@ -470,6 +483,7 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
                 jg_term,
             ]
         )
+        acol_x = jnp.einsum("klij,kjx->klix", acol, dq_r)  # (n-1, 6, 3, nx)
         acol_u = acol_x[:, :, :, : NJ * (n - 1)]  # u-column support only
         return residuals, constraints, j_res, jg_dense, acol_u
 

@@ -31,15 +31,32 @@ def cache_path(batch: int, seed: int, nr_segs: int, root: str | None = None) -> 
 
 def build_and_save(batch: int, seed: int, path: str, n_threads: int = 8,
                    dtype=np.float32):
-    """Plan the fleet (threaded, broker-coalesced) and pickle it. Must run
-    on a CPU backend."""
+    """Plan the fleet and pickle it. Must run on a CPU backend.
+
+    Small fleets use the broker-coalesced thread builder; large fleets
+    (>=512) use the process-pool builder (`fleet.build_fleet_mp`), whose
+    throughput scales with host cores instead of being GIL-bound."""
     from ..config import perf_mpc_params
-    from .fleet import build_fleet_threaded
 
     cfg = perf_mpc_params()
-    carry_b, q0_b, obs_b, brk = build_fleet_threaded(
-        batch, cfg, seed=seed, dtype=dtype, n_threads=n_threads
-    )
+    if batch >= 512:
+        from .fleet import build_fleet_mp
+
+        carry_b, q0_b, obs_b, info = build_fleet_mp(
+            batch, cfg, seed=seed, dtype=dtype
+        )
+        stats = info
+    else:
+        from .fleet import build_fleet_threaded
+
+        carry_b, q0_b, obs_b, brk = build_fleet_threaded(
+            batch, cfg, seed=seed, dtype=dtype, n_threads=n_threads
+        )
+        stats = {
+            "calls_served": brk.calls_served,
+            "batches_run": brk.batches_run,
+            "coalesced_calls": brk.coalesced_calls,
+        }
     payload = {
         "schema": SCHEMA,
         "batch": batch,
@@ -48,11 +65,7 @@ def build_and_save(batch: int, seed: int, path: str, n_threads: int = 8,
         "carry": carry_b,
         "q0": q0_b,
         "obs": obs_b,
-        "broker_stats": {
-            "calls_served": brk.calls_served,
-            "batches_run": brk.batches_run,
-            "coalesced_calls": brk.coalesced_calls,
-        },
+        "broker_stats": stats,
     }
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:

@@ -155,6 +155,45 @@ def joint_state_msg(q, names: Optional[Sequence[str]] = None) -> Dict:
     return {"name": list(names), "position": [float(v) for v in q]}
 
 
+def _import_boundmpcmsg():
+    """Resolve the colcon-built interface package (classes generated from
+    the schemas shipped in `boundplanner_tpu/idl/`) at call time; tests
+    inject fakes into sys.modules. None when not installed."""
+    try:
+        from boundmpcmsg.msg import MPCData, Vector  # type: ignore
+    except Exception:
+        return None
+    return {"MPCData": MPCData, "Vector": Vector}
+
+
+def to_mpc_data_msg(msgs: Dict, record):
+    """Typed `boundmpcmsg/msg/MPCData` from a `telemetry.MPCTickRecord` —
+    the schema-exact transport (fields per `idl/msg/MPCData.msg`; the
+    JSON-String path of `mpc_data_dict` remains the ROS-less fallback).
+
+    Only the fields the record carries are set; the rest keep their IDL
+    defaults. `tests/test_ros_compat.py` pins that every field set here
+    exists in the shipped schema with a compatible kind."""
+    vec = lambda v: msgs["Vector"](x=[float(c) for c in np.asarray(v).reshape(-1)])
+    m = msgs["MPCData"]()
+    get = lambda f, d=None: getattr(record, f, d)
+    m.t_comp = float(get("t_comp", 0.0))
+    m.t_loop = float(get("t_loop", 0.0))
+    m.t_overhead = float(get("t_overhead", 0.0))
+    m.phi_max = float(get("phi_max", 0.0))
+    m.cost = float(get("cost", 0.0))
+    m.iterations = int(get("iterations", get("sqp_iters", 0)) or 0)
+    m.sector = int(get("sector", 0))
+    m.fails = [0.0 if bool(get("success", True)) else 1.0]
+    m.phi = vec([get("phi", 0.0)])
+    m.dphi = vec([get("dphi", 0.0)])
+    for f in ("q", "dq", "p", "v", "e_p", "e_r", "p_ref"):
+        v = get(f)
+        if v is not None:
+            setattr(m, f, [vec(v)])
+    return m
+
+
 def mpc_data_dict(record) -> Dict:
     """MPCData.msg-shaped telemetry dict from a `telemetry.MPCTickRecord`
     (field parity with `boundmpcmsg/msg/MPCData.msg`)."""
@@ -272,6 +311,7 @@ class RosPublisher:
     def __init__(self, node_name: str = "boundplanner_tpu"):
         self.active = False
         self.ros = _import_ros()
+        self.typed = _import_boundmpcmsg()
         self.pubs = {}
         if self.ros is not None:
             rclpy = self.ros["rclpy"]
@@ -281,6 +321,12 @@ class RosPublisher:
             for key, (topic, type_name) in self.TOPICS.items():
                 self.pubs[key] = self.node.create_publisher(
                     self.ros[type_name], topic, 10
+                )
+            if self.typed is not None:
+                # the colcon-built interface package is installed: publish
+                # schema-exact MPCData alongside the JSON-String transport
+                self.pubs["mpc_data_typed"] = self.node.create_publisher(
+                    self.typed["MPCData"], "/bound_mpc/mpc_data_typed", 10
                 )
             self.active = True
 
@@ -327,10 +373,16 @@ class RosPublisher:
         return msg
 
     def publish_tick(self, record):
-        """MPCData-equivalent telemetry (`boundmpcmsg/msg/MPCData.msg`)."""
+        """MPCData-equivalent telemetry (`boundmpcmsg/msg/MPCData.msg`):
+        JSON String always; the typed MPCData additionally when the
+        generated interface package is importable."""
         msg = mpc_data_dict(record)
         if self.active:
             self._publish("mpc_data", to_string_msg(self.ros, msg))
+            if self.typed is not None:
+                self._publish(
+                    "mpc_data_typed", to_mpc_data_msg(self.typed, record)
+                )
         self._log(f"phi={msg['phi']:.3f} t_comp={msg['t_comp'] * 1e3:.0f}ms")
         return msg
 

@@ -1,0 +1,154 @@
+"""BASELINE config 5 artifact: 10k+ parallel planner+MPC rollouts.
+
+Drives the three rungs of the 10k-fleet story end to end and records the
+evidence in FLEET10K.json at the repo root:
+
+1. ``build``  — plan the 10240-scene randomized fleet with the process-pool
+   planner (`parallel.fleet.build_fleet_mp` via `fleet_cache`); CPU-only.
+2. ``tpu``    — closed-loop rollout of all 10240 scenes on the attached
+   TPU chip (`parallel.batch.chunked_rollout`, one compiled 128-wide
+   program lax.map'ed over 80 chunks) with fleet quality gates.
+3. ``dist``   — multi-host tier: the same fleet rolled by N coordinated
+   processes on a virtual CPU mesh (`parallel.distributed`), the layout a
+   real multi-host pod would use (scenario axis over all devices, DCN
+   diagnostics reductions).
+
+Usage:
+    python tools/fleet10k.py tpu   [ticks=10]
+    python tools/fleet10k.py dist  [ticks=2] [nproc=2] [devices_per_proc=4]
+    python tools/fleet10k.py dist-worker <ticks>   (internal)
+
+Ref: SURVEY.md §7 phase 7, BASELINE.md config 5, VERDICT r2 next-#1.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+BATCH, SEED, NR_SEGS = 10240, 7, 4
+ARTIFACT = os.path.join(REPO, "FLEET10K.json")
+
+
+def _record(key, payload):
+    data = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as f:
+            data = json.load(f)
+    data[key] = payload
+    with open(ARTIFACT, "w") as f:
+        json.dump(data, f, indent=1)
+    print(json.dumps({key: payload}))
+
+
+def _load_fleet():
+    from boundplanner_tpu.parallel.fleet_cache import cache_path, load
+
+    return load(cache_path(BATCH, SEED, NR_SEGS))
+
+
+def main_tpu(ticks: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from boundplanner_tpu.config import perf_mpc_params
+    from boundplanner_tpu.parallel.batch import chunked_rollout
+
+    cfg = perf_mpc_params()
+    fleet = _load_fleet()
+    cb = jax.device_put(fleet["carry"])
+    ob = jax.device_put(fleet["obs"])
+    qb = jax.device_put(jnp.asarray(fleet["q0"]))
+    roll = jax.jit(lambda c, q, o: chunked_rollout(c, q, o, cfg, ticks, chunk=128))
+    final, recs = roll(cb, qb, ob)
+    _ = float(np.asarray(recs["phi"])[0, -1])  # compile + warm sync
+    t0 = time.perf_counter()
+    final, recs = roll(cb, qb, ob)
+    _ = float(np.asarray(recs["phi"])[0, -1])
+    wall = time.perf_counter() - t0
+    succ = np.asarray(recs["success"], np.float32)
+    _record("tpu_rollout", {
+        "backend": jax.default_backend(),
+        "batch": BATCH,
+        "ticks": ticks,
+        "wall_s": round(wall, 2),
+        "solves_per_s": round(BATCH * ticks / wall, 1),
+        "success_rate": round(float(succ.mean()), 4),
+        "max_viol": round(float(np.max(np.asarray(recs["viol"]))), 6),
+        "mean_phi_final": round(float(np.mean(np.asarray(recs["phi"])[:, -1])), 4),
+    })
+
+
+def main_dist(ticks: int, nproc: int, devices_per_proc: int):
+    from boundplanner_tpu.parallel.distributed import launch
+
+    t0 = time.perf_counter()
+    results = launch(
+        [sys.executable, os.path.abspath(__file__), "dist-worker", str(ticks)],
+        nproc,
+        env_extra={
+            "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices_per_proc}",
+        },
+        timeout=5400,
+    )
+    wall = time.perf_counter() - t0
+    diag = None
+    for rc, out in results:
+        for line in out.splitlines():
+            if line.startswith("DIAG "):
+                d = json.loads(line[5:])
+                if diag is None:
+                    diag = d
+                else:
+                    # DCN-reduced diagnostics must agree across processes
+                    assert all(abs(diag[k] - d[k]) < 1e-6 for k in diag), (diag, d)
+    assert diag is not None, "no worker reported diagnostics"
+    _record("dist_rollout", {
+        "processes": nproc,
+        "devices_per_process": devices_per_proc,
+        "batch": BATCH,
+        "ticks": ticks,
+        "wall_s": round(wall, 2),
+        **{k: round(v, 6) for k, v in diag.items()},
+    })
+
+
+def main_dist_worker(ticks: int):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from boundplanner_tpu.parallel import distributed as dist
+
+    dist.initialize()
+    from boundplanner_tpu.config import perf_mpc_params
+
+    cfg = perf_mpc_params()
+    fleet = _load_fleet()
+    sl = dist.local_batch_slice(BATCH)
+    carry_l = jax.tree.map(lambda x: x[sl], fleet["carry"])
+    obs_l = jax.tree.map(lambda x: x[sl], fleet["obs"])
+    q0_l = fleet["q0"][sl]
+    _, _, diag = dist.distributed_rollout(carry_l, q0_l, obs_l, cfg, ticks)
+    print("DIAG " + json.dumps(diag), flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "tpu":
+        main_tpu(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif mode == "dist":
+        main_dist(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 4,
+        )
+    elif mode == "dist-worker":
+        main_dist_worker(int(sys.argv[2]))
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
