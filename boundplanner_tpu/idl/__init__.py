@@ -25,6 +25,8 @@ import os
 import re
 from typing import Dict, NamedTuple, Tuple
 
+import numpy as np
+
 _IDL_DIR = os.path.dirname(__file__)
 
 _SCALAR_TYPES = {
@@ -87,7 +89,14 @@ def validate(schema: Dict[str, Field], payload: Dict) -> None:
         else:
             if seq:
                 raise ValueError(f"field {name!r}: expected scalar {f.type}")
-            if f.type == "bool" and not isinstance(value, (bool,)):
+            if f.type == "bool" and not isinstance(value, (bool, np.bool_)):
                 raise ValueError(f"field {name!r}: expected bool")
-            if f.type.startswith(("int", "uint")) and not isinstance(value, int):
-                raise ValueError(f"field {name!r}: expected int, got {type(value)}")
+            if f.type.startswith(("int", "uint")):
+                # numpy integer scalars are wire-valid ints; Python bools
+                # are ints by inheritance but a bool for an int field is a
+                # caller mistake — reject it
+                is_int = isinstance(value, (int, np.integer))
+                if not is_int or isinstance(value, (bool, np.bool_)):
+                    raise ValueError(
+                        f"field {name!r}: expected int, got {type(value)}"
+                    )

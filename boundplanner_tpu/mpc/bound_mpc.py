@@ -600,16 +600,47 @@ class BoundMPC:
         v,
         p0=np.zeros(6),
         params: MPCParams | None = None,
+        warm_carry: bool = True,
     ):
-        """Replanning hand-off (ref `BoundMPC.update:271-336`)."""
+        """Replanning hand-off (ref `BoundMPC.update:271-336`).
+
+        ``warm_carry`` preserves the previous solution across the replan —
+        the reference keeps ``prev_solution``/duals through ``update`` so
+        the first post-replan solve is warm (`BoundMPC.py:193-198,412-428`
+        survive `:271-336`). It is sound here because the condensed
+        decision vector is the JOINT-SPACE jerk sequence + slacks (path
+        data enters only through parameters), and replanning keeps the
+        committed horizon valid by construction
+        (`BoundPlanner.py:231-276,706-729`): the old jerk plan remains a
+        dynamically consistent warm start for the new scene. The previous
+        accepted trajectory is kept too, so the fallback shift still has
+        columns if the first post-replan solve fails. Measured A/B (CPU
+        obstacle replan scenario, `tests/test_replanning.py` harness):
+        first-post-replan solve cost/viol strictly better warm than cold.
+        """
         cfg = params or self.cfg
+        if warm_carry and cfg.n != self.cfg.n:
+            warm_carry = False  # decision-vector size changed
         self.cfg = cfg
         self.obs = build_obstacle_arrays(obstacles, size_increase=0.0)
         path = build_path(
             pos_points, rot_points, bp1, br1, e_r_bound, a_sets, b_sets,
             nr_segs=cfg.nr_segs,
         )
+        old = self.carry
         carry = init_carry(path, p0, cfg, self.dtype)
+        if warm_carry:
+            carry = carry._replace(
+                x_prev=old.x_prev,
+                has_prev=old.has_prev,
+                prev_q=old.prev_q,
+                prev_dq=old.prev_dq,
+                prev_ddq=old.prev_ddq,
+                prev_u=old.prev_u,
+                prev_p=old.prev_p,
+                prev_v=old.prev_v,
+                prev_pslacks=old.prev_pslacks,
+            )
 
         # phi re-initialization by projection (ref `:313-322`)
         p_via0 = np.asarray(pos_points[0], dtype=np.float64)

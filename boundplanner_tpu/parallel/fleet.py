@@ -297,24 +297,32 @@ def build_fleet_mp(
             OPENBLAS_NUM_THREADS="1",
             OMP_NUM_THREADS="1",
         )
+    # The override is restored as soon as the pool's workers have spawned
+    # (all spawn inside the Pool() constructor), NOT after the whole build:
+    # anything else in this process that reads these vars or launches
+    # subprocesses during a long build must see the original values. A
+    # worker respawned later (after a crash) would come up without the
+    # override, but `_mp_worker_init`'s jax.config.update still forces the
+    # CPU backend there — only its BLAS thread pinning would be lost.
     saved = {k: os.environ.get(k) for k in env_override}
     os.environ.update(env_override)
     counter = ctx.Value("i", 0)
     try:
-        with ctx.Pool(
+        pool_cm = ctx.Pool(
             processes=n_procs,
             initializer=_mp_worker_init,
             initargs=(counter, (os.cpu_count() or 1) if pin else 0),
-        ) as pool:
-            for blk in pool.imap_unordered(_mp_plan_block, tasks):
-                for draw, carry, obs in blk:
-                    results[draw] = (carry, obs)
+        )
     finally:
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+    with pool_cm as pool:
+        for blk in pool.imap_unordered(_mp_plan_block, tasks):
+            for draw, carry, obs in blk:
+                results[draw] = (carry, obs)
     wall = _time.perf_counter() - t0
     if len(results) < batch:
         raise RuntimeError(f"only {len(results)}/{batch} scenes planned")

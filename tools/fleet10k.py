@@ -100,6 +100,9 @@ def main_dist(ticks: int, nproc: int, devices_per_proc: int):
     wall = time.perf_counter() - t0
     diag = None
     for rc, out in results:
+        # a crashed worker must not leave a "successful" artifact built
+        # from its peers' partial DIAG lines
+        assert rc == 0, f"dist worker failed (rc={rc}):\n{out[-2000:]}"
         for line in out.splitlines():
             if line.startswith("DIAG "):
                 d = json.loads(line[5:])
