@@ -44,7 +44,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from boundplanner_tpu.config import perf_mpc_params
-    from boundplanner_tpu.parallel.batch import closed_loop_rollout, chunked_rollout
+    from boundplanner_tpu.parallel.batch import fleet_rollout, chunked_rollout
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     demo_mode = "demo" in args
@@ -53,6 +53,21 @@ def main():
     ticks = int(args[1]) if len(args) > 1 else 20
 
     cfg = perf_mpc_params()
+    # A/B experiment overrides (adoption decisions still go through
+    # perf_mpc_params + the full gate ledger): BENCH_OVERRIDES is a
+    # comma-separated knob=value list, e.g.
+    #   BENCH_OVERRIDES=esc_lanes=4,qp_iters=4,qp_warm_sz=1
+    overrides = os.environ.get("BENCH_OVERRIDES")
+    if overrides:
+        import dataclasses
+
+        kv = {}
+        for item in overrides.split(","):
+            key, val = item.split("=")
+            cur = getattr(cfg, key)
+            kv[key] = type(cur)(int(val) if val.isdigit() else val)
+        cfg = dataclasses.replace(cfg, **kv)
+        print(f"# overrides: {kv}", file=sys.stderr)
 
     if demo_mode:
         from boundplanner_tpu.demo import demo_scene, stack_scenes
@@ -101,11 +116,7 @@ def main():
     # one live lane of 128 (measured p50 31.9 vs 35.2 ms) — the layout a
     # single-robot TPU deployment would use.
     one = jax.tree.map(lambda x: x[:1], (cb, q0b, ob))
-    lat_roll = jax.jit(
-        lambda c, q, o: jax.vmap(
-            lambda cc, qq, oo: closed_loop_rollout(cc, qq, oo, cfg, 1)
-        )(c, q, o)
-    )
+    lat_roll = jax.jit(lambda c, q, o: fleet_rollout(c, q, o, cfg, 1))
     _, r1 = lat_roll(*one)
     _ = float(np.asarray(r1["phi"]).ravel()[-1])  # compile + warm
     lats = []

@@ -81,6 +81,12 @@ class MPCParams:
     # hurts more than the inherited active set helps. Needs a paired
     # (s, z) least-squares init to revisit.
     qp_warm_dual: bool = False
+    # PAIRED Mehrotra (s, z) warm start (the revisit the qp_warm_dual
+    # negative asked for): initialize s from the ACTUAL warm-start slack
+    # h - G x0 and z from the carried duals, then apply Mehrotra's
+    # initial-point centering shifts. Requires qp_warm_dual=True to carry
+    # z across SQP iterations. A/B evidence in ROUND4_NOTES.
+    qp_warm_sz: bool = False
     # compute the IPM dual residual's G^T z stream in bfloat16 (bounded
     # per-iteration rounding of the Newton rhs; NOT the round-1-negative
     # recursive carry, whose error accumulates)
@@ -102,6 +108,42 @@ class MPCParams:
     # obstacle gate: 8 infeasibility fallbacks vs 0, 44 ticks vs 38 at
     # kkt_every=2) — keep 1 unless re-gated
     kkt_every: int = 1
+    # ---- budget escalation on failing ticks (round 4) ----
+    # The perf iteration budget leaves ~1% of fleet ticks infeasible
+    # (viol ~1e-3); the hard-scene anchor proved those ticks are
+    # iteration-budget misses that the SAME solver closes at
+    # sqp_iters=6 / qp_iters=8 (tests/test_external_anchor.py, matching
+    # SLSQP's optimum; the reference's Ipopt budget max_iter=100 solves
+    # them as a matter of course, `BoundMPC.py:203-206`). esc_lanes > 0
+    # enables a batch-level retry inside the fleet rollout
+    # (`parallel.batch.fleet_rollout`): failing lanes (up to esc_lanes
+    # per tick) are compacted into a fixed-width sub-batch and re-ticked
+    # at the escalated budget under a REAL `lax.cond` — ticks where the
+    # whole batch succeeded pay nothing, and fired ticks pay only the
+    # sub-batch (esc_lanes/batch of an escalated tick), not a
+    # batch-wide budget raise.
+    esc_lanes: int = 0
+    esc_sqp_iters: int = 6
+    esc_qp_iters: int = 8
+    # a lane is retried only while its consecutive-failure streak is
+    # below this: structurally infeasible scenes (iteration-insensitive
+    # slack activation) stop firing the retry branch after esc_streak_limit
+    # ticks; budget misses are fresh failures and always qualify
+    esc_streak_limit: int = 3
+    # route the retry sub-batch's KKT factorizations through the Pallas
+    # kernel (which pads its lane axis to 128 — a k-lane retry pays
+    # full-width towers) vs the masked-loop Cholesky (tiles the tiny
+    # sub-batch at 8 sublanes). A/B evidence in ROUND4_NOTES.
+    esc_pallas: bool = False
+    # consecutive failed ticks before the tick is treated as DEEP failure
+    # (safe-stop braking engages + the re-anchor becomes eligible).
+    # 0 = legacy n-2 (ride the whole stale horizon out, reference
+    # semantics `BoundMPC.py:728-733`). The round-4 long-horizon
+    # diagnosis (ROUND4_NOTES) showed n-2=13 lets a failing marginal
+    # scene replay an accelerating stale plan for 1.3 s while the
+    # attempted-solve violation grows 0.07 -> 4.2; a shallower bar
+    # brakes (and re-anchors) within a few ticks instead
+    deep_fail_ticks: int = 0
 
     def __post_init__(self):
         if not self.weights:

@@ -203,7 +203,9 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     # cold-start the solve. A successful re-anchored solve resumes
     # tracking (error_count drops to 0 in step 6); a failing one keeps the
     # arm parked — braking and fallback semantics are untouched.
-    deep_prev = carry.error_count >= jnp.asarray(n - 2, jnp.int32)
+    deep_bar = cfg.deep_fail_ticks if cfg.deep_fail_ticks > 0 else n - 2
+    deep_bar = min(deep_bar, n - 2)
+    deep_prev = carry.error_count >= jnp.asarray(deep_bar, jnp.int32)
     # quasi-static is enough for the projection anchor; the braking
     # controller converges geometrically, so a tight threshold only delays
     # the re-anchor by ticks
@@ -312,7 +314,7 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     # pure braking behavior there. Continuous-time poles of
     # s^3 + (1.5/dt)s^2 + (0.5/dt^2)s + (0.08/dt^3): Routh 1.5*0.5 > 0.08
     # -> stable crawl back into the box.
-    deep = use_prev & (error_count >= n - 2)
+    deep = use_prev & (error_count >= deep_bar)
     q_target = jnp.clip(
         meas["q0"],
         jnp.asarray(Q_LIM_LOWER, dtype) + 0.03,

@@ -413,7 +413,8 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     # TINY dims first (A_l . acol over i, 3 MACs) into ab (n-1, 90, 7),
     # then ONE well-tiled batched (90, 7) @ (7, nx) MXU matmul emits the
     # link block directly in its final row-major shape. Same math, float
-    # reassociation only (full gate set re-run, see ROUND3_NOTES).
+    # reassociation only (full gate set re-run at the round-4 HEAD that
+    # contains this change — see the ROUND4_NOTES gate ledger).
     if not cfg.struct_link:
         ab = jnp.einsum(
             "lri,klij->klrj", params["a_set_joints"], acol

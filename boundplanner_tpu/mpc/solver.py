@@ -58,6 +58,7 @@ def solve_sqp(x0, params, cfg: MPCParams) -> SQPResult:
         kkt_every=cfg.kkt_every,
         qp_gondzio=cfg.qp_gondzio,
         qp_warm_dual=cfg.qp_warm_dual,
+        qp_warm_sz=cfg.qp_warm_sz,
         qp_lowp_rd=cfg.qp_bf16_rd,
         link_a=params["a_set_joints"] if cfg.struct_link else None,
     )

@@ -6,7 +6,7 @@ one step further than `ops.linalg`: the whole (n, n, 128) working set
 stays resident in VMEM across all 2n column/row steps, with the *batch*
 in the 128-lane axis — zero HBM traffic between steps, pure VPU updates.
 
-VMEM budget trick: the input batch stays in HBM (`pltpu.ANY`) and is
+VMEM budget trick: the input batch stays in HBM (`pl.ANY`) and is
 DMA'd into the single output buffer, where both the factorization and the
 inversion run fully in place (X rows overwrite L rows that are no longer
 needed: step j' of the inversion reads L row j' and X rows k < j', never
@@ -313,8 +313,8 @@ def cholesky_inverse(
     out_t = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, n, btot), dtype),
         scratch_shapes=[
             pltpu.VMEM((n, n, LANES), dtype),

@@ -57,7 +57,7 @@ def _step_len(v, dv, tau=0.995):
 @functools.partial(
     jax.jit,
     static_argnames=("iters", "pallas_kkt", "lowp", "kkt_every", "struct",
-                     "gondzio", "lowp_rd"),
+                     "gondzio", "lowp_rd", "warm_sz"),
 )
 def solve_qp(
     p_mat: jax.Array,
@@ -78,6 +78,7 @@ def solve_qp(
     h_link: Optional[jax.Array] = None,
     z0: Optional[jax.Array] = None,
     lowp_rd: bool = False,
+    warm_sz: bool = False,
 ) -> QPSolution:
     """Solve one dense QP; ``vmap`` over leading axes for batches.
 
@@ -165,10 +166,32 @@ def solve_qp(
             return run
         return run + _structured_t(v)
 
-    s = jnp.maximum(h_vec - gmv_exact(x), 1.0)
-    # dual warm start (e.g. from the previous SQP iteration's QP): clip
-    # into a safe cone so w = z/s starts near the inherited active set
-    z = jnp.ones(m, dtype) if z0 is None else jnp.clip(z0, 1e-6, 1e6)
+    if warm_sz and z0 is not None:
+        # Paired Mehrotra warm start (VERDICT r2/r3 next-#7/#8): the
+        # round-2 z-only warm start was a measured negative BECAUSE the
+        # warm duals were paired with the cold slack floor s = max(., 1),
+        # which puts the iterate far off the central path (s_i z_i spread
+        # over orders of magnitude). Initialize BOTH from the warm-start
+        # point instead — s from the ACTUAL slack h - G x0, z from the
+        # inherited duals — then apply Mehrotra's initial-point shifts
+        # (the standard least-squares-init centering: push both into the
+        # cone, then equalize the complementarity scale s^T z).
+        s_hat = h_vec - gmv_exact(x)
+        z_hat = jnp.clip(z0, 0.0, 1e6)
+        d_s = jnp.maximum(-1.5 * jnp.min(s_hat), 0.0)
+        d_z = jnp.maximum(-1.5 * jnp.min(z_hat), 0.0)
+        s1 = s_hat + d_s
+        z1 = z_hat + d_z
+        mu0 = jnp.dot(s1, z1)
+        s = s1 + 0.5 * mu0 / jnp.maximum(jnp.sum(z1), 1e-12)
+        z = z1 + 0.5 * mu0 / jnp.maximum(jnp.sum(s1), 1e-12)
+        s = jnp.maximum(s, 1e-8)
+        z = jnp.maximum(z, 1e-8)
+    else:
+        s = jnp.maximum(h_vec - gmv_exact(x), 1.0)
+        # dual warm start (e.g. from the previous SQP iteration's QP): clip
+        # into a safe cone so w = z/s starts near the inherited active set
+        z = jnp.ones(m, dtype) if z0 is None else jnp.clip(z0, 1e-6, 1e6)
 
     eye_n = jnp.eye(n, dtype=dtype)
 

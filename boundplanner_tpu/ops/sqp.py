@@ -51,6 +51,7 @@ def gauss_newton_sqp(
     link_a=None,
     qp_warm_dual: bool = False,
     qp_lowp_rd: bool = False,
+    qp_warm_sz: bool = False,
 ) -> SQPResult:
     """``eval_jac_fn`` (optional): x -> (r, g, Jr, Jg) with values identical
     to ``eval_fn`` — a manual/structured Jacobian path (e.g.
@@ -109,19 +110,22 @@ def gauss_newton_sqp(
                           kkt_every=kkt_every, struct=struct,
                           h_tail=-g[md + ml:], gondzio=qp_gondzio,
                           link=(acol_u, link_a), h_link=-g[md : md + ml],
-                          z0=z_prev, lowp_rd=qp_lowp_rd)
+                          z0=z_prev, lowp_rd=qp_lowp_rd,
+                          warm_sz=qp_warm_sz)
         elif struct is not None:
             m_run = struct.m_run
             qp = solve_qp(hess, grad, jg, -g[:m_run], iters=qp_iters,
                           tol=1e-10, pallas_kkt=pallas_kkt, lowp=qp_lowp,
                           kkt_every=kkt_every, struct=struct,
                           h_tail=-g[m_run:], gondzio=qp_gondzio,
-                          z0=z_prev, lowp_rd=qp_lowp_rd)
+                          z0=z_prev, lowp_rd=qp_lowp_rd,
+                          warm_sz=qp_warm_sz)
         else:
             qp = solve_qp(hess, grad, jg, -g, iters=qp_iters, tol=1e-10,
                           pallas_kkt=pallas_kkt, lowp=qp_lowp,
                           kkt_every=kkt_every, gondzio=qp_gondzio,
-                          z0=z_prev, lowp_rd=qp_lowp_rd)
+                          z0=z_prev, lowp_rd=qp_lowp_rd,
+                          warm_sz=qp_warm_sz)
         d = qp.x
 
         cand = x[None, :] + alphas[:, None] * d[None, :]

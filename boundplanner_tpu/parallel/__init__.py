@@ -10,6 +10,7 @@ import importlib
 __all__ = [
     "batched_mpc_tick",
     "closed_loop_rollout",
+    "fleet_rollout",
     "make_batch_scene",
     "make_mesh",
     "shard_batch",
@@ -20,6 +21,7 @@ __all__ = [
 _LOCATIONS = {
     "batched_mpc_tick": "batch",
     "closed_loop_rollout": "batch",
+    "fleet_rollout": "batch",
     "make_batch_scene": "batch",
     "make_mesh": "mesh",
     "shard_batch": "mesh",

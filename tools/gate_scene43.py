@@ -21,7 +21,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from boundplanner_tpu.config import perf_mpc_params  # noqa: E402
-from boundplanner_tpu.parallel.batch import closed_loop_rollout  # noqa: E402
+from boundplanner_tpu.parallel.batch import fleet_rollout  # noqa: E402
 from boundplanner_tpu.parallel.fleet_cache import ensure  # noqa: E402
 
 
@@ -35,9 +35,7 @@ def main():
     ob = jax.tree.map(pick, fleet["obs"])
     q0b = fleet["q0"][scene:scene + 1]
     roll = jax.jit(
-        lambda c, q, o: jax.vmap(
-            lambda cc, qq, oo: closed_loop_rollout(cc, qq, oo, cfg, ticks)
-        )(c, jnp.asarray(q), o)
+        lambda c, q, o: fleet_rollout(c, jnp.asarray(q), o, cfg, ticks)
     )
     final, recs = roll(cb, q0b, ob)
     for k in ["phi", "viol", "success"]:
