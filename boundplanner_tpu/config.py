@@ -225,12 +225,32 @@ def perf_mpc_params() -> MPCParams:
       solves/s (+9%) with IDENTICAL fleet quality (success 0.9922,
       viol 0.0084, same phi) and obstacle gate 38 ticks / 0 fallbacks /
       0.91 mm. Unlike the round-1-negative recursive r_d carry, the
-      bf16 rounding is bounded per iteration and does not accumulate."""
+      bf16 rounding is bounded per iteration and does not accumulate.
+    - deep_fail_ticks=3 (round 4): engage safe-stop braking (and the
+      in-scan re-anchor once at rest) after 3 consecutive failed solves
+      instead of riding the full fallback horizon (n-2 = 13 ticks,
+      reference semantics `BoundMPC.py:728-733`). The long-horizon
+      diagnosis (ROUND4_NOTES) showed the deep bar is what bounds a
+      marginal scene's failure spiral: 128x50 gate max_viol
+      4.232 (legacy) -> 1.640 (bar 4) -> 0.684 (bar 3) with success
+      0.9900 -> 0.9903 -> 0.9912 and throughput unchanged (5438 ->
+      5434 -> 5406 solves/s, within wobble). Bar 2 measured 0.9916 /
+      0.662 — within wobble of bar 3; 3 keeps margin against
+      false-positive braking on short transient miss runs (observed
+      streaks of 1-2 on budget-miss scenes). In-scan budget escalation
+      (esc_lanes>0) measured and NOT adopted: at batch<=128 the tick is
+      latency-bound, so a 4-lane retry costs a full extra tick — 13-21%
+      throughput for +0.0002-0.0005 success (the failing ticks are
+      dominated by one structural scene and one marginal-spiral scene
+      the (6,8) retry cannot rescue); kept available for
+      throughput-bound deployments (chunked 10k fleets amortize the
+      retry across chunks)."""
     return MPCParams(sqp_iters=3, qp_iters=5, qp_gondzio=1,
                      line_search_steps=4,
                      pallas_kkt=True, warm_shift=True, qp_bf16=True,
                      qp_bf16_rd=True,
-                     struct_ocp=True, struct_chunked=False)
+                     struct_ocp=True, struct_chunked=False,
+                     deep_fail_ticks=3)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -211,7 +211,27 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     # the re-anchor by ticks
     at_rest = jnp.max(jnp.abs(meas["dq0"])) < 0.1
     reanchor = deep_prev & at_rest & carry.has_prev
-    win_r = path_window(carry.path, nr_segs)
+    # project the parked pose onto ALL nr_segs window segments and advance
+    # the sector to the nearest before anchoring (ADVICE r3: a safe-stop
+    # that drifted into a LATER window segment would otherwise re-anchor
+    # up to a full segment behind the true pose and track from a stale
+    # reference) — mirrors the reference's full re-projection in
+    # `BoundMPC.update` (`BoundMPC.py:313-322`).
+    win_p = path_window(carry.path, nr_segs)
+    dp3 = win_p["dp_ref"][:, :3]                       # (S,3) unit tangents
+    pr3 = win_p["p_ref"][:, :3]
+    seg_ext = win_p["phi_switch"][1:] - win_p["phi_switch"][:-1]
+    t_seg = jnp.sum((meas["p0"][None, :3] - pr3) * dp3, axis=1)
+    t_seg = jnp.clip(t_seg, 0.0, seg_ext)
+    d2 = jnp.sum((meas["p0"][None, :3] - pr3 - t_seg[:, None] * dp3) ** 2, 1)
+    # window slots past the path's end are clipped duplicates — mask them
+    valid = carry.path.sector + jnp.arange(nr_segs) <= carry.path.num_sectors
+    seg_star = jnp.argmin(jnp.where(valid, d2, jnp.inf)).astype(jnp.int32)
+    path_r = carry.path._replace(
+        sector=jnp.where(reanchor, carry.path.sector + seg_star,
+                         carry.path.sector)
+    )
+    win_r = path_window(path_r, nr_segs)
     # anchor clamped into segment 0's phi extent: a pose parked BEYOND the
     # window's end projects past the hard phi-cap row (`_step_nl`'s
     # phi <= phi_end_seg + 0.005), which no control can satisfy — that
@@ -236,6 +256,7 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     split_reset = jnp.asarray([0] + [n] * nr_segs, jnp.int32)
     pick_anchor = lambda a, b: jnp.where(reanchor, a, b)
     carry = carry._replace(
+        path=path_r,
         phi_current=pick_anchor(phi_anchor, carry.phi_current),
         dphi_current=pick_anchor(dphi_anchor, carry.dphi_current),
         pr_ref=pick_anchor(pr_anchor, carry.pr_ref),

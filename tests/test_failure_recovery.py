@@ -107,6 +107,58 @@ def test_exhausted_fallback_brakes_to_rest():
     assert np.isfinite(q).all() and np.abs(q).max() < 10.0
 
 
+def test_reanchor_projects_onto_nearest_window_segment():
+    """ADVICE r3: a safe-stop that drifted into a LATER window segment
+    must re-anchor onto THAT segment (projection over all nr_segs window
+    segments + sector advance), not clamp to the end of segment 0 and
+    track from a reference a full segment behind the true pose — mirrors
+    the reference's full re-projection in `BoundMPC.update`
+    (`BoundMPC.py:313-322`)."""
+    from boundplanner_tpu.robot import kinematics as kin
+
+    from boundplanner_tpu.robot.model import _ik_gauss_newton
+
+    pose0 = np.array(kin.fk_pose(jnp.asarray(Q0)))
+    r0 = R.from_rotvec(pose0[3:]).as_matrix()
+
+    # two sectors: short segment 0 (len 0.05), segment 1 (len 0.3)
+    p_via = [pose0[:3].copy(),
+             pose0[:3] + np.array([0.0, -0.05, 0.0]),
+             pose0[:3] + np.array([0.0, -0.35, 0.0])]
+    r_via = [r0, r0, r0]
+    z = np.array([0.0, 0.0, 1.0])
+    erb = np.array([90, 90, 90, -90, -90, -90]) * np.pi / 180
+    free = (np.zeros((15, 3)), np.ones(15))
+    mpc = BoundMPC(
+        p_via, r_via, [z, z], [z, z], [erb, erb],
+        [free[0], free[0]], [free[1], free[1]],
+        obstacles=[], p0=pose0, params=CFG,
+    )
+
+    # forge a parked state: fallback horizon exhausted, at rest, with a
+    # previous solution — the ARM (consistent q via IK) sits 0.1 into
+    # segment 1 (global phi 0.15)
+    parked = pose0.copy()
+    parked[1] -= 0.15
+    q_park = np.asarray(_ik_gauss_newton(
+        jnp.asarray(parked[:3]), jnp.asarray(r0), jnp.asarray(Q0)
+    ))
+    pose_park = np.array(kin.fk_pose(jnp.asarray(q_park)))
+    np.testing.assert_allclose(pose_park[:3], parked[:3], atol=1e-5)
+    mpc.carry = mpc.carry._replace(
+        error_count=jnp.asarray(CFG.n - 2, jnp.int32),
+        has_prev=jnp.asarray(True),
+    )
+    zeros = np.zeros(7)
+    mpc.step(q_park, zeros, zeros, pose_park, np.zeros(6), zeros)
+
+    assert int(mpc.carry.path.sector) == 1, "sector did not advance"
+    # anchored phi ~= 0.15 (global), i.e. 0.1 into segment 1 — allow the
+    # post-anchor solve to progress a little within the tick
+    phi = float(mpc.carry.phi_current)
+    assert 0.10 < phi < 0.30, phi
+
+
 def test_reanchor_recovers_after_safe_stop():
     """Round-3 re-design (VERDICT r2 #3): after the fallback horizon is
     exhausted and the arm has braked to rest, the tick re-anchors the
