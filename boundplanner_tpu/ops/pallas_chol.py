@@ -176,6 +176,103 @@ def _kernel(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int, two_d: bool):
     dma_out.wait()
 
 
+def _kernel_il(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
+    """Interleaved variant of `_kernel`: ONE sequential loop of n steps
+    runs chol_step(j) AND inv_step(j) per iteration (vs n + n steps).
+
+    Why: the sweeps are bound by the sequential per-step issue latency,
+    not by data volume or arithmetic — measured via the two_d experiment
+    (restricting update width removed 33% of touched data for 3.6% of
+    time) and the rank-2 experiment (halving steps by serializing two
+    pivots per step LOST — the second pivot extends the critical chain).
+    Interleaving halves the step count with genuinely INDEPENDENT work
+    per step: the factorization's trailing update touches rows > j while
+    the inversion's row sum reads rows < j, so Mosaic can overlap the two
+    dependency chains instead of executing 2n chained steps.
+
+    Correctness of the interleave (each claim mirrors a masked read/write
+    in the code):
+    - chol_step(j) finalizes L column j (full-column write also zeroes
+      the upper part), so inv_step(j) may run immediately after: it needs
+      L row j cols < j (finalized at those columns' pivot steps), the
+      diagonal d (just written), and X rows < j (finalized by earlier
+      inv steps).
+    - inv_step here writes the FULL row j (no two_d column restriction):
+      cols <= j get X values, cols > j get exact zeros automatically
+      (the row sum over X rows k < j reads only zeros there, by
+      induction), so X rows are clean for later reads even though later
+      columns haven't been factorized yet.
+    - later chol trailing updates rewrite X rows with `blk - 0 * rowb`
+      (colb is masked to rows > pivot), leaving them bit-identical; later
+      chol column writes put an exact 0.0 at (j', k) for j' < k, which is
+      already X's value there.
+    Output is BIT-IDENTICAL to `_kernel` (per-element arithmetic and
+    accumulation order are unchanged; only the temporal interleaving of
+    disjoint writes differs) — asserted by the interpret-mode equivalence
+    test and the TPU microbench harness."""
+    i = pl.program_id(0)
+    tile = pl.ds(i * LANES, LANES)
+    dma_in = pltpu.make_async_copy(k_hbm_ref.at[:, :, tile], a_ref, sem)
+    dma_in.start()
+    dma_in.wait()
+    out_ref = a_ref
+    dtype = a_ref.dtype
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    blocks = _row_blocks(n)
+    row_ids_b = {
+        h0: jax.lax.broadcasted_iota(jnp.int32, (hn, 1, 1), 0) + h0
+        for h0, hn in blocks
+    }
+
+    def step(j, _, upd_blocks, read_blocks):
+        # ---- factorization: eliminate column j, update rows > j ----
+        col = out_ref[:, pl.ds(j, 1), :]                    # (n, 1, L)
+        onehot_c = (row_ids == j).astype(col.dtype)
+        d = jnp.sqrt(
+            jnp.maximum(jnp.sum(col * onehot_c, axis=0, keepdims=True), 1e-30)
+        )
+        colb = jnp.where(row_ids > j, col / d, 0.0)
+        row = out_ref[pl.ds(j, 1), :, :]                    # (1, n, L)
+        rowb = jnp.where(col_ids > j, row / d, 0.0)
+        for (h0, hn) in upd_blocks:                         # trailing update
+            blk = out_ref[pl.ds(h0, hn), :, :]
+            out_ref[pl.ds(h0, hn), :, :] = blk - colb[h0 : h0 + hn] * rowb
+        out_ref[:, pl.ds(j, 1), :] = colb + onehot_c * d    # store L column j
+
+        # ---- inversion: form X row j from L row j and X rows < j ----
+        # (reads rows < j: disjoint from the trailing update's rows > j,
+        # so the two chains above/below can overlap; d comes straight
+        # from the factorization half, off the critical path)
+        lrow = jnp.where(col_ids < j, out_ref[pl.ds(j, 1), :, :], 0.0)
+        lrow_t = jnp.transpose(lrow, (1, 0, 2))             # (n, 1, L)
+        onehot_r = (col_ids == j).astype(dtype)
+        dr = jnp.transpose(d, (1, 0, 2))                    # (1, 1, L)
+        s = 0.0
+        for (h0, hn) in read_blocks:
+            blk = out_ref[pl.ds(h0, hn), :, :]
+            masked = jnp.where(row_ids_b[h0] < j, blk, 0.0)
+            s = s + jnp.sum(
+                lrow_t[h0 : h0 + hn] * masked, axis=0, keepdims=True
+            )
+        out_ref[pl.ds(j, 1), :, :] = (onehot_r - s) / dr
+        return 0
+
+    for p, (h0, hn) in enumerate(blocks):
+        jax.lax.fori_loop(
+            h0, h0 + hn,
+            functools.partial(
+                step, upd_blocks=blocks[p:], read_blocks=blocks[: p + 1]
+            ),
+            0,
+        )
+
+    dma_out = pltpu.make_async_copy(a_ref, out_hbm_ref.at[:, :, tile], sem)
+    dma_out.start()
+    dma_out.wait()
+
+
 def _kernel_r2(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
     """Rank-2 variant of `_kernel`: two pivot columns per factorization
     step and two inverse rows per back-substitution step.
@@ -283,9 +380,15 @@ def _kernel_r2(k_hbm_ref, out_hbm_ref, a_ref, sem, n: int):
     dma_out.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "two_d", "rank2"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "two_d", "rank2", "interleave")
+)
 def cholesky_inverse(
-    k_batch, interpret: bool = False, two_d: bool = True, rank2: bool = False
+    k_batch,
+    interpret: bool = False,
+    two_d: bool = True,
+    rank2: bool = False,
+    interleave: bool = False,
 ):
     """L^{-1} for a batch of SPD matrices. k_batch: (B, n, n) -> (B, n, n).
 
@@ -294,7 +397,12 @@ def cholesky_inverse(
     pivots per sequential step — MEASURED NEGATIVE on v5e (1.17 vs 1.09
     ms at B=128, n=136): the sweeps are VPU-compute-bound, so halving the
     iteration count while doubling per-pass arithmetic loses; kept for
-    the record with the interpret-mode equivalence test.
+    the record with the interpret-mode equivalence test. ``interleave``
+    (round 4) runs chol_step(j) + inv_step(j) in ONE loop of n
+    steps instead of two loops of n — unlike rank2 the merged halves are
+    independent dependency chains (rows > j vs rows < j), so the halved
+    step count actually shortens the critical path; bit-identical output
+    (see `_kernel_il`).
     """
     bsz, n, _ = k_batch.shape
     dtype = k_batch.dtype
@@ -308,6 +416,8 @@ def cholesky_inverse(
     grid = (btot // LANES,)
     if rank2 and all(hn % 2 == 0 for _, hn in _row_blocks(n)):
         kernel = functools.partial(_kernel_r2, n=n)
+    elif interleave:
+        kernel = functools.partial(_kernel_il, n=n)
     else:
         kernel = functools.partial(_kernel, n=n, two_d=two_d)
     out_t = pl.pallas_call(

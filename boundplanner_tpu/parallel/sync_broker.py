@@ -1,5 +1,16 @@
 """Phase-synchronous cross-scene batching for fleet planning.
 
+STATUS (round 4): DOCUMENTED NEGATIVE — measured on BOTH backends and
+adopted on neither. On CPU it loses 1.3x (compute-bound; ROUND3_NOTES).
+On its claimed win domain — the dispatch-latency-bound tunnel TPU — it
+cuts dispatches 381 -> 306 and widens batches 1.52 -> 1.89 yet loses
+53.3 -> 87.6 s wall on a 16-scene build (`tools/bench_sync_tpu.py`,
+ROUND4_NOTES): every barrier wave runs at the pace of the slowest parked
+scene, beating the latency saved, and the waves narrow as scenes finish.
+Production fleet builds use `build_fleet_threaded` (<512 scenes) or
+`build_fleet_mp` (>=512) via `fleet_cache.ensure`. Kept, with tests, as
+the experimental record.
+
 The linger-window broker (`parallel.broker.BatchBroker`) coalesces planner
 kernel calls by SLEEPING at each leader call and hoping siblings arrive in
 the window; measured on 16-scene fleets it tops out at 1.2-1.6 calls per

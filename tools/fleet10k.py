@@ -73,6 +73,9 @@ def main_tpu(ticks: int):
     _ = float(np.asarray(recs["phi"])[0, -1])
     wall = time.perf_counter() - t0
     succ = np.asarray(recs["success"], np.float32)
+    viol = np.asarray(recs["viol"])
+    per_scene_v = viol.max(axis=1)
+    per_scene_fail = (1.0 - succ).sum(axis=1)
     _record("tpu_rollout", {
         "backend": jax.default_backend(),
         "batch": BATCH,
@@ -80,8 +83,18 @@ def main_tpu(ticks: int):
         "wall_s": round(wall, 2),
         "solves_per_s": round(BATCH * ticks / wall, 1),
         "success_rate": round(float(succ.mean()), 4),
-        "max_viol": round(float(np.max(np.asarray(recs["viol"]))), 6),
+        "max_viol": round(float(viol.max()), 6),
         "mean_phi_final": round(float(np.mean(np.asarray(recs["phi"])[:, -1])), 4),
+        # per-scene characterization: "structural" scenes fail every tick
+        # with a small bounded slack violation (tight corridors, README
+        # "hard fleet" class); what matters at fleet scale is how many
+        # scenes exceed perception-level violation and how many spiral
+        "scenes_failing_any_tick": int((per_scene_fail > 0).sum()),
+        "scenes_failing_all_ticks": int((per_scene_fail == ticks).sum()),
+        "scenes_viol_gt_1cm": int((per_scene_v > 1e-2).sum()),
+        "scenes_viol_gt_10cm": int((per_scene_v > 0.1).sum()),
+        "viol_p99": round(float(np.percentile(per_scene_v, 99)), 8),
+        "viol_p999": round(float(np.percentile(per_scene_v, 99.9)), 6),
     })
 
 
