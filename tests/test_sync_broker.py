@@ -172,15 +172,6 @@ def test_chunking_beyond_max_batch():
 def test_sync_brokered_planner_matches_direct():
     """One scene planned through the sync broker (single worker) gives the
     same plan as the direct kernel path."""
-    import jax
-
-    # Late in the full suite (after ~150 tests' compiled programs have
-    # accumulated) the XLA CPU compile of this test's brokered planner
-    # kernels segfaults inside backend_compile_and_load — deterministic at
-    # this test, absent when either suite half runs alone (diagnosed round
-    # 4; upstream XLA CPU client state bug, si_code hidden by a re-raising
-    # handler). Dropping the accumulated executables first avoids it.
-    jax.clear_caches()
     from boundplanner_tpu.parallel.broker import register_planner_kernels
     from boundplanner_tpu.planner import BoundPlanner
 
