@@ -274,6 +274,16 @@ def _step_local(k, z, params, cfg: MPCParams):
     sigm = 1.0 / (1.0 + jnp.exp(-60.0 * (phi - (params["phi_max"] - 0.05))))
     v_orth = zd["v"] - dphi * ref["dp_d"]
     one_norm = ref_fns.approx_one_norm(params["x_phi_d"][0] - phi)
+    # Row order within the step block: the 26 (p, v)-NONLINEAR rows first
+    # (matching `ocp_jac._step_nl` exactly), then the 14 x-affine rows.
+    # The objective is sum r^2 and every consumer reduces over the step
+    # block order-invariantly (J^T r, Gram), so this is a pure layout
+    # choice — it lets `evaluate_with_jac_structured` assemble jr_steps
+    # as [jr_nl | static affine block] in one fusable concat instead of
+    # four interleaved splices (TPU trace: +7.4% on the 128-batch SQP
+    # microbench, ROUND4_NOTES). The reference keeps cost terms in
+    # formulation order (`casadi_ocp_formulation.py:266-334`); order is
+    # semantically free there too.
     r = jnp.concatenate(
         [
             sigm * err["e_r"],
@@ -281,13 +291,13 @@ def _step_local(k, z, params, cfg: MPCParams):
             jnp.sqrt(w[1]) * err["e_r_par"],
             jnp.sqrt(w[2]) * v_orth[:3],
             jnp.sqrt(w[3]) * v_orth[3:],
-            jnp.sqrt(w[6]) * zd["dq"][2:5],
-            jnp.sqrt(w[7]) * zd["u"],
             jnp.sqrt(w[5]) * (params["x_phi_d"][1] - dphi)[None],
             jnp.sqrt(w[4] * jnp.maximum(one_norm, 0.0) + 1e-14)[None],
             jnp.sqrt(w[0]) * err["e_p"],
             jnp.sqrt(w[1] / 50.0) * err["e_r_orth1"],
             jnp.sqrt(w[1] / 50.0) * err["e_r_orth2"],
+            jnp.sqrt(w[6]) * zd["dq"][2:5],
+            jnp.sqrt(w[7]) * zd["u"],
             jnp.sqrt(w[9]) * zd["rs"][None],
             jnp.sqrt(w[10]) * zd["drs"][None],
             jnp.sqrt(w[9]) * zd["ps"][None],

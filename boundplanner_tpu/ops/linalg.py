@@ -187,5 +187,9 @@ def _kkt_inverse_vmap_rule(axis_size, in_batched, kkt):
     if use_pallas:
         from .pallas_chol import cholesky_inverse
 
-        return cholesky_inverse(kkt), True
+        # interleave=True: chol_step(j) + inv_step(j) fused into one
+        # n-step loop — bit-identical output (interpret-mode equivalence
+        # test in tests/test_pallas_chol.py), ~1.3% faster kernel-level
+        # (tools/bench_chol.py, ROUND4_NOTES).
+        return cholesky_inverse(kkt, interleave=True), True
     return jax.vmap(_kkt_inverse_ref)(kkt), True

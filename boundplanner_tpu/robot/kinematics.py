@@ -156,6 +156,29 @@ def _rotz(q):
     )
 
 
+def _lincomb(cols, coefs, tol=1e-12):
+    """sum_k coefs[k] * cols[k] with STATIC numpy coefficients.
+
+    Skips |coef| < tol crumbs (the cos(pi/2) ~ 6e-17 entries of the
+    fixed joint rotations) and folds exact +-1 into adds/negations, so
+    a constant signed-permutation factor costs zero multiplies."""
+    out = None
+    for k in range(len(cols)):
+        c = float(coefs[k])
+        if abs(c) < tol:
+            continue
+        if c == 1.0:
+            term = cols[k]
+        elif c == -1.0:
+            term = -cols[k]
+        else:
+            term = c * cols[k]
+        out = term if out is None else out + term
+    if out is None:
+        out = jnp.zeros_like(cols[0])
+    return out
+
+
 def fk_frames(q, chain: "RobotChain" = None):
     """World placements of all 7 joint frames + EE + collision frames.
 
@@ -167,30 +190,48 @@ def fk_frames(q, chain: "RobotChain" = None):
         (ordering of ref `RobotModel.py:27-35`)
 
     ``chain`` selects the robot (default iiwa14; see ``gen3_chain``).
-    """
+
+    Re-design note (TPU): the chain is evaluated as COLUMN operations, not
+    3x3 matmuls. Each fixed joint rotation is a signed permutation (rpy
+    multiples of pi/2, `iiwa.urdf:25-122`), so ``r_cur @ joint_r[i]`` is a
+    static column shuffle, and right-multiplying by Rz(q_i) mixes only
+    columns 0/1: col0' = c*A0 + s*A1, col1' = c*A1 - s*A0, col2' = A2.
+    Under the fleet vmap the per-joint 3x3 matmuls would each pad to one
+    (8,128)-tiled MXU dispatch; the column form is fusable (batch, 3) VPU
+    FMA chains — measured +15.7% on the 128-batch SQP microbench
+    (ROUND4_NOTES). Values identical up to dropping ~6e-17 crumb entries
+    of the constant factors and float reassociation (ulps)."""
     if chain is None:
         chain = IIWA14_CHAIN
     dtype = jnp.asarray(q).dtype
-    joint_r = jnp.asarray(chain.joint_r, dtype=dtype)
-    joint_xyz = jnp.asarray(chain.joint_xyz, dtype=dtype)
+    joint_r_np = np.asarray(chain.joint_r)      # static float64 constants
+    joint_xyz_np = np.asarray(chain.joint_xyz)
 
     rs = []
     ps = []
-    r_cur = jnp.eye(3, dtype=dtype)
+    eye = np.eye(3)
+    cols = [jnp.asarray(eye[:, k], dtype=dtype) for k in range(3)]
     p_cur = jnp.zeros(3, dtype=dtype)
     for i in range(NUM_JOINTS):
-        p_cur = p_cur + r_cur @ joint_xyz[i]
-        r_cur = r_cur @ joint_r[i] @ _rotz(q[i])
-        rs.append(r_cur)
+        p_cur = p_cur + _lincomb(cols, joint_xyz_np[i])
+        a = [_lincomb(cols, joint_r_np[i][:, j]) for j in range(3)]
+        c, s = jnp.cos(q[i]), jnp.sin(q[i])
+        cols = [c * a[0] + s * a[1], c * a[1] - s * a[0], a[2]]
+        rs.append(jnp.stack(cols, axis=-1))
         ps.append(p_cur)
     r = jnp.stack(rs)
     p = jnp.stack(ps)
+    cols6 = cols
 
-    r_ee = r[6] @ jnp.asarray(chain.ee_r, dtype=dtype)
-    p_ee = p[6] + r[6] @ jnp.asarray(chain.ee_xyz, dtype=dtype)
+    ee_r_np = np.asarray(chain.ee_r)
+    r_ee = jnp.stack(
+        [_lincomb(cols6, ee_r_np[:, j]) for j in range(3)], axis=-1
+    )
+    p_ee = p[6] + _lincomb(cols6, np.asarray(chain.ee_xyz))
 
-    p_link4_col = p[3] + r[3] @ jnp.asarray(chain.link4_col_xyz, dtype=dtype)
-    p_ee_col = p[6] + r[6] @ jnp.asarray(chain.ee_col_xyz, dtype=dtype)
+    cols3 = [r[3][:, k] for k in range(3)]
+    p_link4_col = p[3] + _lincomb(cols3, np.asarray(chain.link4_col_xyz))
+    p_ee_col = p[6] + _lincomb(cols6, np.asarray(chain.ee_col_xyz))
     p_col = jnp.concatenate(
         [p[2:7], p_link4_col[None], p_ee_col[None]], axis=0
     )  # (7, 3)
