@@ -28,6 +28,12 @@ class MPCParams:
     n: int = 15                # horizon length N
     dt: float = 0.1            # sampling time [s]
     nr_segs: int = 4           # path segments visible to the OCP window
+    # robot selection — the reference's USE_IIWA flag
+    # (`RobotModel/RobotModel.py:10,18-21`) switches URDF, limits and the
+    # symbolic FK consumed by the whole OCP stack; here the static config
+    # knob selects the kinematic chain + limits at trace time
+    # ("iiwa14" or "gen3").
+    robot: str = "iiwa14"
     max_set_size: int = MPC_SET_ROWS
     # Objective weights, same layout as the reference weight vector
     # (w_p, w_r, w_v_p, w_v_r, w_phi, w_dphi, w_dq, w_jerk, w_term,

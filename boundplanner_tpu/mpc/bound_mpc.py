@@ -152,7 +152,7 @@ def build_tick_params(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPC
     )
 
     # 4) per-link collision sets (ref `:480-498`)
-    a_j, b_j = prep.link_collision_sets(meas["q0"], meas["qf"], obs)
+    a_j, b_j = prep.link_collision_sets(meas["q0"], meas["qf"], obs, robot=cfg.robot)
 
     params = {
         "q0": meas["q0"],
@@ -319,7 +319,9 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     # on a marginal fleet scene). Re-design: when error_count saturates
     # the shift (>= N-2), command a saturated deadbeat braking jerk on
     # the MEASURED (dq, ddq) instead, bringing the arm to rest.
-    from ..robot.model import Q_LIM_LOWER, Q_LIM_UPPER, U_MAX
+    from ..robot.model import U_MAX, ocp_limits
+
+    q_lim_upper, q_lim_lower, _, _ = ocp_limits(cfg.robot)
 
     # gains: with plant step ddq' = ddq + dt u, dq' = dq + dt ddq +
     # dt^2/2 u, the state feedback u = -(b/dt) ddq - (a/dt^2) dq has
@@ -338,8 +340,8 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     deep = use_prev & (error_count >= deep_bar)
     q_target = jnp.clip(
         meas["q0"],
-        jnp.asarray(Q_LIM_LOWER, dtype) + 0.03,
-        jnp.asarray(Q_LIM_UPPER, dtype) - 0.03,
+        jnp.asarray(q_lim_lower, dtype) + 0.03,
+        jnp.asarray(q_lim_upper, dtype) - 0.03,
     )
     # a corrupted q measurement (NaN sensor fault — the very failure that
     # can drive the tick here) must not poison the braking command:
@@ -551,15 +553,16 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     return carry_new, outputs
 
 
-@jax.jit
-def _cartesian_acc(q, dq, ddq):
+@functools.partial(jax.jit, static_argnames=("robot",))
+def _cartesian_acc(q, dq, ddq, robot="iiwa14"):
     """True Cartesian acceleration a = J(q) ddq + dJ(q, dq) dq over a
     horizon of joint states (ref `RobotModel.py:233-251` Jacobian time
     variation; the reference never wires it into traj_data)."""
+    chain = kinematics.chain_by_name(robot)
 
     def one(qi, dqi, ddqi):
-        j = kinematics.jacobian_fk(qi)
-        dj = kinematics.djacobian_fk(qi, dqi)
+        j = kinematics.jacobian_fk(qi, chain)
+        dj = jax.jvp(lambda qq: kinematics.jacobian_fk(qq, chain), (qi,), (dqi,))[1]
         return j @ ddqi + dj @ dqi
 
     return jax.vmap(one)(q, dq, ddq)
@@ -726,6 +729,7 @@ class BoundMPC:
                         jnp.asarray(out["q"][1:]),
                         jnp.asarray(out["dq"][1:]),
                         jnp.asarray(out["ddq"][1:]),
+                        robot=self.cfg.robot,
                     )
                 ).T
                 if self.cartesian_acc

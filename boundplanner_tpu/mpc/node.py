@@ -28,7 +28,7 @@ class MPCNode:
         self.params = params or MPCParams()
         self.dt = self.params.dt
         self.realtime = realtime
-        self.robot_model = RobotModel()
+        self.robot_model = RobotModel(self.params.robot)
 
         self.fails = []
         self.t_mpc = 0.0

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..config import MPCParams, MPC_SET_ROWS, NUM_LINK_SETS
 from ..robot import kinematics as kin
-from ..robot.model import DDQ_LIM, DQ_LIM, Q_LIM_LOWER, Q_LIM_UPPER, U_MAX, U_MIN
+from ..robot.model import DDQ_LIM, U_MAX, U_MIN, ocp_limits
 from ..path import ref_fns
 
 NJ = 7
@@ -143,13 +143,16 @@ def rollout_joints(u, q0, dq0, ddq0, dt, static: bool = False):
     return q, dq, ddq
 
 
-def rollout_cartesian(q, dq, p0, v0, dt):
+def rollout_cartesian(q, dq, p0, v0, dt, chain=None):
     """Pose/twist trajectories from the joint rollout: p_pos = fk(q),
-    v = J(q) dq, integrated omega by trapezoid (ref `:121-133`)."""
-    jacs = jax.vmap(kin.jacobian_fk)(q[1:])            # (N-1, 6, 7)
+    v = J(q) dq, integrated omega by trapezoid (ref `:121-133`).
+    ``chain`` selects the robot (`kin.chain_by_name`; the reference's
+    USE_IIWA switch reaches the OCP through the symbolic FK it loads,
+    `RobotModel.py:18-21`)."""
+    jacs = jax.vmap(lambda qq: kin.jacobian_fk(qq, chain))(q[1:])  # (N-1, 6, 7)
     v_rest = jnp.einsum("kij,kj->ki", jacs, dq[1:])     # (N-1, 6)
     v = jnp.concatenate([v0[None], v_rest])
-    p_pos_rest = jax.vmap(kin.fk_pos)(q[1:])
+    p_pos_rest = jax.vmap(lambda qq: kin.fk_pos(qq, chain))(q[1:])
     p_pos = jnp.concatenate([p0[None, :3], p_pos_rest])
     omega = v[:, 3:]
     incr = 0.5 * dt * (omega[:-1] + omega[1:])
@@ -164,7 +167,9 @@ def rollout(x, params, cfg: MPCParams):
     n = cfg.n
     u, dslacks, rs0, drs, ps0, dps = unpack(x, params["u0"], n)
     q, dq, ddq = rollout_joints(u, params["q0"], params["dq0"], params["ddq0"], cfg.dt)
-    p, v = rollout_cartesian(q, dq, params["p0"], params["v0"], cfg.dt)
+    p, v = rollout_cartesian(
+        q, dq, params["p0"], params["v0"], cfg.dt, kin.chain_by_name(cfg.robot)
+    )
     rslacks, pslacks = slack_trajectories(rs0, drs, ps0, dps, cfg.dt)
     return {
         "u": u,
@@ -358,11 +363,13 @@ def _terminal_local(z, params, cfg: MPCParams):
     return jnp.concatenate([g_term_set, g_term_rot_u, g_term_rot_l])
 
 
-def local_inputs(traj, n: int):
+def local_inputs(traj, n: int, chain=None):
     """Packed z vectors for steps k = 1..N-1: (N-1, N_Z). The collision
     frame positions are computed here (outside `_step_local`) so the
     Jacobian path can chain them through dfk_col/dq."""
-    p_col = jax.vmap(kin.fk_pos_col_all)(traj["q"][1:])[:, :NUM_LINK_SETS]
+    p_col = jax.vmap(lambda qq: kin.fk_pos_col_all(qq, chain))(
+        traj["q"][1:]
+    )[:, :NUM_LINK_SETS]
     dsl = jnp.broadcast_to(traj["dslacks"], (n - 1, 6))
     return jax.vmap(pack_z)(
         traj["q"][1:],
@@ -398,7 +405,7 @@ def evaluate(x, params, cfg: MPCParams):
     dtype = x.dtype
     slacks = params["slacks0"] + traj["dslacks"]
 
-    zs = local_inputs(traj, n)
+    zs = local_inputs(traj, n, kin.chain_by_name(cfg.robot))
     ks = jnp.arange(1, n)
     r_steps, g_steps = jax.vmap(
         lambda k, z: _step_local(k, z, params, cfg)
@@ -420,14 +427,16 @@ def evaluate(x, params, cfg: MPCParams):
 
     # --- state bounds for k=1..N-1 (lbx/ubx in the reference) ---
     dtype = x.dtype
-    q_ub = jnp.asarray(Q_LIM_UPPER, dtype)
-    q_lb = jnp.asarray(Q_LIM_LOWER, dtype)
+    q_ub_np, q_lb_np, dq_lim_np, _ = ocp_limits(cfg.robot)
+    q_ub = jnp.asarray(q_ub_np, dtype)
+    q_lb = jnp.asarray(q_lb_np, dtype)
+    dq_lim = jnp.asarray(dq_lim_np, dtype)
     g_bounds = jnp.concatenate(
         [
             (traj["q"][1:] - q_ub).reshape(-1),
             (q_lb - traj["q"][1:]).reshape(-1),
-            (traj["dq"][1:] - DQ_LIM).reshape(-1),
-            (-DQ_LIM - traj["dq"][1:]).reshape(-1),
+            (traj["dq"][1:] - dq_lim).reshape(-1),
+            (-dq_lim - traj["dq"][1:]).reshape(-1),
             (traj["ddq"][1:] - DDQ_LIM).reshape(-1),
             (-DDQ_LIM - traj["ddq"][1:]).reshape(-1),
             (traj["u"][1:] - U_MAX).reshape(-1),

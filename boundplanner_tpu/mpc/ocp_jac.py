@@ -129,12 +129,12 @@ def _static_bound_rows(n: int, dt: float):
     return np.concatenate([g_bounds, g_slack])
 
 
-def _fk_bundle(q, dq):
+def _fk_bundle(q, dq, chain=None):
     """Per-step FK quantities whose q-derivatives the chain rule needs."""
     return (
-        kin.fk_pos(q),
-        kin.jacobian_fk(q) @ dq,
-        kin.fk_pos_col_all(q)[:NUM_LINK_SETS],
+        kin.fk_pos(q, chain),
+        kin.jacobian_fk(q, chain) @ dq,
+        kin.fk_pos_col_all(q, chain)[:NUM_LINK_SETS],
     )
 
 
@@ -147,8 +147,9 @@ def evaluate_with_jac(x, params, cfg: MPCParams):
     w = params["weights"]
     s = _static_sensitivities(n, cfg.dt)
 
+    chain = kin.chain_by_name(cfg.robot)
     traj = ocp.rollout(x, params, cfg)
-    zs = ocp.local_inputs(traj, n)
+    zs = ocp.local_inputs(traj, n, chain)
     ks = jnp.arange(1, n)
 
     # ---- values + per-step local Jacobians (61 tangents, vmapped) ----
@@ -160,10 +161,12 @@ def evaluate_with_jac(x, params, cfg: MPCParams):
     )(ks, zs)
 
     # ---- runtime FK derivative bundles (7 tangents, vmapped) ----
-    ap, hv, acol = jax.vmap(jax.jacfwd(_fk_bundle, argnums=0))(
+    ap, hv, acol = jax.vmap(
+        jax.jacfwd(lambda q, dq: _fk_bundle(q, dq, chain), argnums=0)
+    )(
         traj["q"][1:], traj["dq"][1:]
     )  # (n-1, 3, 7), (n-1, 6, 7), (n-1, 6, 3, 7)
-    jacs = jax.vmap(kin.jacobian_fk)(traj["q"][1:])  # (n-1, 6, 7)
+    jacs = jax.vmap(lambda qq: kin.jacobian_fk(qq, chain))(traj["q"][1:])  # (n-1, 6, 7)
 
     dq_r = jnp.asarray(s["dq"][1:], dtype)       # (n-1, 7, nx)
     ddq_r = jnp.asarray(s["ddq"][1:], dtype)
@@ -222,16 +225,18 @@ def evaluate_with_jac(x, params, cfg: MPCParams):
     )
 
     # ---- affine bound/slack rows (values from evaluate's formulas) ----
-    from ..robot.model import DDQ_LIM, DQ_LIM, Q_LIM_LOWER, Q_LIM_UPPER, U_MAX, U_MIN
+    from ..robot.model import DDQ_LIM, U_MAX, U_MIN, ocp_limits
 
-    q_ub = jnp.asarray(Q_LIM_UPPER, dtype)
-    q_lb = jnp.asarray(Q_LIM_LOWER, dtype)
+    q_ub_np, q_lb_np, dq_lim_np, _ = ocp_limits(cfg.robot)
+    q_ub = jnp.asarray(q_ub_np, dtype)
+    q_lb = jnp.asarray(q_lb_np, dtype)
+    dq_lim = jnp.asarray(dq_lim_np, dtype)
     g_bounds = jnp.concatenate(
         [
             (traj["q"][1:] - q_ub).reshape(-1),
             (q_lb - traj["q"][1:]).reshape(-1),
-            (traj["dq"][1:] - DQ_LIM).reshape(-1),
-            (-DQ_LIM - traj["dq"][1:]).reshape(-1),
+            (traj["dq"][1:] - dq_lim).reshape(-1),
+            (-dq_lim - traj["dq"][1:]).reshape(-1),
             (traj["ddq"][1:] - DDQ_LIM).reshape(-1),
             (-DDQ_LIM - traj["ddq"][1:]).reshape(-1),
             (traj["u"][1:] - U_MAX).reshape(-1),
@@ -341,8 +346,9 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     s = _static_sensitivities(n, cfg.dt)
     st = ocp_struct.build(n, cfg.dt)
 
+    chain = kin.chain_by_name(cfg.robot)
     traj = ocp.rollout(x, params, cfg)
-    zs = ocp.local_inputs(traj, n)
+    zs = ocp.local_inputs(traj, n, chain)
     ks = jnp.arange(1, n)
 
     # ---- values: the same vmapped `_step_local` as `evaluate` ----
@@ -358,10 +364,12 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
     )(ks, traj["p"][1:], traj["v"][1:])  # (n-1, 26, 12), (n-1, 22, 12)
 
     # ---- runtime FK derivative bundles (7 tangents, vmapped) ----
-    ap, hv, acol = jax.vmap(jax.jacfwd(_fk_bundle, argnums=0))(
+    ap, hv, acol = jax.vmap(
+        jax.jacfwd(lambda q, dq: _fk_bundle(q, dq, chain), argnums=0)
+    )(
         traj["q"][1:], traj["dq"][1:]
     )  # (n-1, 3, 7), (n-1, 6, 7), (n-1, 6, 3, 7)
-    jacs = jax.vmap(kin.jacobian_fk)(traj["q"][1:])  # (n-1, 6, 7)
+    jacs = jax.vmap(lambda qq: kin.jacobian_fk(qq, chain))(traj["q"][1:])  # (n-1, 6, 7)
 
     dq_r = jnp.asarray(s["dq"][1:], dtype)       # (n-1, 7, nx)
     ddq_r = jnp.asarray(s["ddq"][1:], dtype)
@@ -462,7 +470,7 @@ def evaluate_with_jac_structured(x, params, cfg: MPCParams):
         ]
     )
 
-    g_tail = st.tail_values(traj, dtype)
+    g_tail = st.tail_values(traj, dtype, cfg.robot)
 
     residuals = jnp.concatenate([r_steps.reshape(-1), r_term])
     j_res = jnp.concatenate([jr_steps.reshape(-1, nx), jr_term])

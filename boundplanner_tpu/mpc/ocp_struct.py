@@ -234,20 +234,21 @@ class OCPStruct:
         out = out.at[o:, o:].set(ss)
         return out
 
-    def tail_values(self, traj, dtype):
+    def tail_values(self, traj, dtype, robot="iiwa14"):
         """g_tail(x) values from a rollout — identical formulas (and row
         order) to the g_bounds/g_slack blocks of `ocp.evaluate`."""
-        from ..robot.model import (DDQ_LIM, DQ_LIM, Q_LIM_LOWER, Q_LIM_UPPER,
-                                   U_MAX, U_MIN)
+        from ..robot.model import DDQ_LIM, U_MAX, U_MIN, ocp_limits
 
-        q_ub = jnp.asarray(Q_LIM_UPPER, dtype)
-        q_lb = jnp.asarray(Q_LIM_LOWER, dtype)
+        q_ub_np, q_lb_np, dq_lim_np, _ = ocp_limits(robot)
+        q_ub = jnp.asarray(q_ub_np, dtype)
+        q_lb = jnp.asarray(q_lb_np, dtype)
+        dq_lim = jnp.asarray(dq_lim_np, dtype)
         g_bounds = jnp.concatenate(
             [
                 (traj["q"][1:] - q_ub).reshape(-1),
                 (q_lb - traj["q"][1:]).reshape(-1),
-                (traj["dq"][1:] - DQ_LIM).reshape(-1),
-                (-DQ_LIM - traj["dq"][1:]).reshape(-1),
+                (traj["dq"][1:] - dq_lim).reshape(-1),
+                (-dq_lim - traj["dq"][1:]).reshape(-1),
                 (traj["ddq"][1:] - DDQ_LIM).reshape(-1),
                 (-DDQ_LIM - traj["ddq"][1:]).reshape(-1),
                 (traj["u"][1:] - U_MAX).reshape(-1),

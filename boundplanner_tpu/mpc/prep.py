@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..utils import so3
 from ..robot import kinematics as kin
-from ..robot.model import COL_JOINT_SIZES
+from ..robot.model import COL_JOINT_SIZES, ocp_limits  # noqa: F401
 from ..config import NUM_LINK_SETS
 from ..planner.set_finder import ObstacleArrays, find_set_line
 
@@ -74,14 +74,16 @@ def orientation_projection_vectors(dtau_init, dtau_par, dtau_orth1, dtau_orth2, 
     return v1, v2, v3, jac_l, jac_r
 
 
-def link_collision_sets(q0, qf, obs: ObstacleArrays, e_max=0.7):
+def link_collision_sets(q0, qf, obs: ObstacleArrays, e_max=0.7, robot="iiwa14"):
     """Per-tick convex sets around each link's motion segment
     (ref `BoundMPC.py:480-498`): 6 sets, all rows shrunk by the link sphere
-    radius."""
-    p0s = kin.fk_pos_col_all(q0)[:NUM_LINK_SETS]
-    p1s = kin.fk_pos_col_all(qf)[:NUM_LINK_SETS]
+    radius. ``robot`` selects chain + sphere radii (ref `RobotModel.py:36-39`)."""
+    chain = kin.chain_by_name(robot)
+    _, _, _, col_sizes = ocp_limits(robot)
+    p0s = kin.fk_pos_col_all(q0, chain)[:NUM_LINK_SETS]
+    p1s = kin.fk_pos_col_all(qf, chain)[:NUM_LINK_SETS]
     dtype = q0.dtype
-    sizes = jnp.asarray(COL_JOINT_SIZES[:NUM_LINK_SETS], dtype)
+    sizes = jnp.asarray(col_sizes[:NUM_LINK_SETS], dtype)
     ws = jnp.zeros(3, dtype)  # unused when limit_space=True
 
     def one(p0, p1, size):

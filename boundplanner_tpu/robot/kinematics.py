@@ -113,9 +113,11 @@ IIWA14_CHAIN = RobotChain(
 )
 
 
+@functools.lru_cache(maxsize=None)
 def gen3_chain() -> RobotChain:
     """Kinova Gen3 chain (`gen3_arm.urdf:27-137`; selected in the reference
-    via USE_IIWA=False, `RobotModel.py:10,18-21`)."""
+    via USE_IIWA=False, `RobotModel.py:10,18-21`). Cached: one shared
+    instance, so every trace bakes the same numpy constants."""
     return RobotChain(
         joint_xyz=[
             [0.0, 0.0, 0.15643],
@@ -141,6 +143,16 @@ def gen3_chain() -> RobotChain:
         ee_col_xyz=[0.0, 0.0, -0.13],
         name="gen3",
     )
+
+
+def chain_by_name(name: str | None):
+    """Resolve a config robot name to a chain constant (None = the iiwa14
+    static default — every kinematics function's fast path)."""
+    if name in (None, "iiwa14"):
+        return None
+    if name == "gen3":
+        return gen3_chain()
+    raise ValueError(f"unknown robot {name!r} (expected 'iiwa14' or 'gen3')")
 
 
 def _rotz(q):

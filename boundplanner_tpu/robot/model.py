@@ -49,15 +49,39 @@ GEN3_Q_LIM_UPPER = np.array([np.inf, 2.24, np.inf, 2.57, np.inf, 2.09, np.inf])
 GEN3_DQ_LIM = np.array([1.3963, 1.3963, 1.3963, 1.3963, 1.2218, 1.2218, 1.2218])
 GEN3_COL_JOINT_SIZES = np.array([0.09, 0.09, 0.06, 0.06, 0.06, 0.06, 0.075])
 
+# Finite stand-in for the gen3 continuous joints' +-inf position limits
+# inside the OCP's inequality rows. Deviation from the reference: Ipopt
+# accepts +-inf variable bounds natively (`RobotModel.py:46-48`), but the
+# IPM keeps a finite slack s = -g for EVERY row — an inf bound would put
+# inf/nan into the f32 iterate. 1e3 rad is > 150 full revolutions, i.e.
+# unreachable within any horizon: the rows are permanently inactive, like
+# the reference's inf bounds.
+OCP_INF_CLAMP = 1e3
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _ik_gauss_newton(pd, rd, q0, iters: int = 60):
+
+@functools.lru_cache(maxsize=None)
+def ocp_limits(robot: str = "iiwa14"):
+    """(q_ub, q_lb, dq_lim, col_sizes) numpy constants for the OCP's
+    bound rows and link-collision sets, per robot (the limit surface the
+    reference reads off `RobotModel.get_robot_limits`, `RobotModel.py:44-68`).
+    DDQ_LIM / U_MAX are robot-independent (`BoundMPC.py:182`,
+    `RobotModel.py:53-54`)."""
+    if robot == "gen3":
+        q_ub = np.where(np.isinf(GEN3_Q_LIM_UPPER), OCP_INF_CLAMP, GEN3_Q_LIM_UPPER)
+        return q_ub, -q_ub, GEN3_DQ_LIM.copy(), GEN3_COL_JOINT_SIZES.copy()
+    if robot in (None, "iiwa14"):
+        return Q_LIM_UPPER.copy(), Q_LIM_LOWER.copy(), DQ_LIM.copy(), COL_JOINT_SIZES.copy()
+    raise ValueError(f"unknown robot {robot!r}")
+
+
+def _ik_gauss_newton(pd, rd, q0, chain=None, q_lim=None, iters: int = 60):
     """Bounded damped Gauss-Newton IK on the reference objective."""
-    lo = jnp.asarray(Q_LIM_LOWER, dtype=q0.dtype)
-    hi = jnp.asarray(Q_LIM_UPPER, dtype=q0.dtype)
+    q_ub = Q_LIM_UPPER if q_lim is None else q_lim
+    lo = jnp.asarray(-q_ub, dtype=q0.dtype)
+    hi = jnp.asarray(q_ub, dtype=q0.dtype)
 
     def residuals(q):
-        f = kin.fk_frames(q)
+        f = kin.fk_frames(q, chain)
         r_pos = f["p_ee"] - pd
         r_rot = (f["r_ee"] @ rd.T - jnp.eye(3, dtype=q.dtype)).reshape(-1)
         return jnp.concatenate([r_pos, r_rot])
@@ -164,7 +188,13 @@ class RobotModel:
 
     def inverse_kinematics(self, pd, rd, q0):
         """Optimization-based IK (ref `RobotModel.py:132-144`)."""
-        q = _ik_gauss_newton(
+        if not hasattr(self, "_ik_jit"):
+            chain, q_ub = self.chain, self.q_lim_upper
+
+            self._ik_jit = jax.jit(
+                lambda pd_, rd_, q0_: _ik_gauss_newton(pd_, rd_, q0_, chain, q_ub)
+            )
+        q = self._ik_jit(
             jnp.asarray(pd, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
             jnp.asarray(rd),
             jnp.asarray(q0),
