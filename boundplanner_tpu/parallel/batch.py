@@ -42,9 +42,10 @@ def batched_mpc_tick(carry, meas, obs, cfg: MPCParams):
     return jax.vmap(lambda c, m, o: mpc_tick(c, m, o, cfg))(carry, meas, obs)
 
 
-def _plant_measurement(q, dq, ddq, jerk, qf, dtype):
-    pose = kin.fk_pose(q)
-    jac = kin.jacobian_fk(q)
+def _plant_measurement(q, dq, ddq, jerk, qf, dtype, robot="iiwa14"):
+    chain = kin.chain_by_name(robot)
+    pose = kin.fk_pose(q, chain)
+    jac = kin.jacobian_fk(q, chain)
     return {
         "q0": q,
         "dq0": dq,
@@ -71,7 +72,7 @@ def closed_loop_rollout(carry, q0, obs, cfg: MPCParams, n_ticks: int):
 
     def step(state, _):
         carry, q, dq, ddq, jerk, qf = state
-        meas = _plant_measurement(q, dq, ddq, jerk, qf, dtype)
+        meas = _plant_measurement(q, dq, ddq, jerk, qf, dtype, cfg.robot)
         carry, out = mpc_tick(carry, meas, obs, cfg)
         u0 = out["dddq"][0]
         u1 = out["dddq"][1]
@@ -170,7 +171,7 @@ def fleet_rollout(carry_b, q0_b, obs_b, cfg: MPCParams, n_ticks: int):
     def step(state, _):
         carry, q, dq, ddq, jerk, qf, streak = state
         meas = jax.vmap(
-            lambda *a: _plant_measurement(*a, dtype)
+            lambda *a: _plant_measurement(*a, dtype, cfg.robot)
         )(q, dq, ddq, jerk, qf)
         carry_n, out = jax.vmap(
             lambda c, m, o: mpc_tick(c, m, o, cfg)
