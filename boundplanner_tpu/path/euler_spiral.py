@@ -106,6 +106,132 @@ def create_euler_spiral(v1, v2, length: float = 0.05):
     return a, -a, theta, plane, d_in - length, [d_in - length, r_out - length]
 
 
+def blend_corners(
+    p_via,
+    r_via,
+    bp1,
+    br1,
+    e_r_bound,
+    a_sets,
+    b_sets,
+    length: float = 0.05,
+    n_sub: int = 4,
+):
+    """Replace each interior corner of a piecewise-linear via path with a
+    discretized clothoid blend (``n_sub`` sub-segments through the spiral).
+
+    Opt-in pre-processing for `reference_path.build_path` — EXCEEDS the
+    reference, whose euler-spiral module is bit-rotted and unwired on this
+    branch (`bound_planner/ReferencePath/euler_spiral.py:16-82`, SURVEY.md
+    §2.4): the MPC's reference math stays piecewise-linear, so the blend
+    is realized as extra via points sampled ON the clothoid. Tangent
+    discontinuity at each sub-corner is theta/n_sub instead of theta.
+
+    Per-segment attributes (bp1/br1/e_r_bound/a_sets/b_sets) are inherited
+    from the incoming half of the corner for sub-segments before the
+    spiral midpoint and from the outgoing half after it; rotations are
+    slerped at the sub-points' fractional positions so the integrated
+    rotation reference is unchanged at the original vias.
+
+    A corner is blended only if (a) both adjacent segments leave room for
+    the blend (plus room for the neighboring corners' blends), and (b)
+    every sampled spiral point stays inside the convex set of the segment
+    it is assigned to — otherwise that corner is left sharp. Returns the
+    new ``(p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets)`` lists.
+    """
+    from scipy.spatial.transform import Rotation, Slerp
+
+    p = [np.asarray(x, float) for x in p_via]
+    n_corner = len(p) - 2
+    if n_corner <= 0:
+        return (list(p_via), list(r_via), list(bp1), list(br1),
+                list(e_r_bound), list(a_sets), list(b_sets))
+
+    new_p = [p[0]]
+    new_r = [r_via[0]]
+    new_bp1, new_br1, new_erb, new_a, new_b = [], [], [], [], []
+
+    def push_seg(i_seg):
+        new_bp1.append(bp1[i_seg])
+        new_br1.append(br1[i_seg])
+        new_erb.append(e_r_bound[i_seg])
+        new_a.append(a_sets[i_seg])
+        new_b.append(b_sets[i_seg])
+
+    for i in range(1, len(p) - 1):
+        v1 = p[i] - p[i - 1]
+        v2 = p[i + 1] - p[i]
+        l_in, l_out = np.linalg.norm(v1), np.linalg.norm(v2)
+        # room: each segment may host blends at BOTH its ends
+        room = 2.5 * length
+        a_spl, _, theta, plane, offset, short = create_euler_spiral(
+            v1, v2, length
+        )
+        d_in = short[0] + length   # blend start distance before the corner
+        r_out = short[1] + length  # blend end distance after the corner
+        ok = (
+            theta > 1e-3
+            and l_in > room + d_in
+            and l_out > room + r_out
+        )
+        if ok:
+            # sample at equal-TURN increments (curvature is linear in s,
+            # so equal-arc chunks concentrate turn at the midpoint): the
+            # cumulative turn is a s^2 on the first half and
+            # theta - a (2L - s)^2 on the mirrored second half
+            tau = theta * np.arange(n_sub + 1) / n_sub
+            s = np.where(
+                tau <= 0.5 * theta,
+                np.sqrt(np.maximum(tau, 0.0) / a_spl),
+                2.0 * length - np.sqrt(np.maximum(theta - tau, 0.0) / a_spl),
+            )
+            pts = eval_blend(a_spl, theta, plane, offset, length, s, p[i], v1, v2)
+            # containment: first half must sit in the incoming segment's
+            # set, second half in the outgoing's
+            half = (n_sub + 1) // 2
+            in_ok = np.all(
+                a_sets[i - 1] @ pts[:half].T - np.asarray(b_sets[i - 1])[:, None]
+                <= 1e-9
+            )
+            out_ok = np.all(
+                a_sets[i] @ pts[half:].T - np.asarray(b_sets[i])[:, None] <= 1e-9
+            )
+            ok = bool(in_ok and out_ok)
+        if not ok:
+            new_p.append(p[i])
+            new_r.append(r_via[i])
+            push_seg(i - 1)
+            continue
+        # rotations: slerp along the fractional position of each sub-point
+        # on its original segment (incoming for the first half)
+        rot_in = Slerp(
+            [0.0, 1.0],
+            Rotation.from_matrix(np.stack([r_via[i - 1], r_via[i]])),
+        )
+        rot_out = Slerp(
+            [0.0, 1.0],
+            Rotation.from_matrix(np.stack([r_via[i], r_via[i + 1]])),
+        )
+        for k, pt in enumerate(pts):
+            if k < half:
+                frac = np.clip(
+                    np.dot(pt - p[i - 1], v1) / max(l_in**2, 1e-12), 0.0, 1.0
+                )
+                new_r.append(rot_in(frac).as_matrix())
+            else:
+                frac = np.clip(
+                    np.dot(pt - p[i], v2) / max(l_out**2, 1e-12), 0.0, 1.0
+                )
+                new_r.append(rot_out(frac).as_matrix())
+            new_p.append(pt)
+            push_seg(i - 1 if k < half else i)
+
+    new_p.append(p[-1])
+    new_r.append(r_via[-1])
+    push_seg(len(p) - 2)
+    return new_p, new_r, new_bp1, new_br1, new_erb, new_a, new_b
+
+
 def eval_blend(a, theta, plane, offset, length, s, corner, v1, v2):
     """Evaluate the blended 3-D path at arc parameter ``s`` in [0, 2L],
     measured from the blend start (``offset + length`` before the corner

@@ -85,8 +85,23 @@ def build_path(
     nr_segs: int = 4,
     phi_bias: float = 0.0,
     dtype=np.float64,
+    spiral_blend: float = 0.0,
+    spiral_sub: int = 4,
 ) -> PathState:
-    """Host-side path preprocessing (ref `ReferencePath.py:12-166`)."""
+    """Host-side path preprocessing (ref `ReferencePath.py:12-166`).
+
+    ``spiral_blend > 0`` opts into euler-spiral corner blending with that
+    half-arc length: interior corners are replaced by ``spiral_sub``
+    sub-segments sampled on a clothoid (`euler_spiral.blend_corners`).
+    Opt-in EXCEEDS the reference — its spiral module is bit-rotted and
+    unwired (SURVEY.md §2.4)."""
+    if spiral_blend > 0.0:
+        from .euler_spiral import blend_corners
+
+        (p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets) = blend_corners(
+            p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets,
+            length=spiral_blend, n_sub=spiral_sub,
+        )
     p_list = [np.asarray(x, dtype=dtype) for x in p_via]
     r_list = [np.asarray(x, dtype=dtype) for x in r_via]
     l_traj = len(p_list)

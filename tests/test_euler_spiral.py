@@ -64,3 +64,99 @@ def test_blend_3d_plane():
     p_end = eval_blend(a, theta, rot2d, off, 0.05, 0.1, corner, v1, v2)
     d = p_end - corner
     assert np.linalg.norm(np.cross(d / np.linalg.norm(d), v2)) < 1e-6
+
+
+def _corner_scene():
+    """A 3-via right-angle path with generous box sets around each segment."""
+    p_via = [np.array([0.0, 0.0, 0.5]), np.array([0.4, 0.0, 0.5]),
+             np.array([0.4, 0.4, 0.5])]
+    eye = np.eye(3)
+    r_via = [eye, eye, eye]
+    bp1 = [np.array([0.0, 0.0, 1.0])] * 2
+    br1 = [np.array([1.0, 0.0, 0.0])] * 2
+    erb = [np.array([1.0, 1.0, 1.0, -1.0, -1.0, -1.0])] * 2
+    a_box = np.vstack([eye, -eye, np.zeros((9, 3))])
+
+    def box(lo, hi):
+        return np.concatenate([hi, -lo, 10.0 * np.ones(9)])
+
+    a_sets = [a_box, a_box]
+    b_sets = [box(np.array([-0.1, -0.1, 0.3]), np.array([0.5, 0.1, 0.7])),
+              box(np.array([0.3, -0.1, 0.3]), np.array([0.5, 0.5, 0.7]))]
+    return p_via, r_via, bp1, br1, erb, a_sets, b_sets
+
+
+def test_blend_corners_path():
+    """blend_corners: sub-vias on the clothoid, C1-ish tangents, containment."""
+    from boundplanner_tpu.path.euler_spiral import blend_corners
+
+    p_via, r_via, bp1, br1, erb, a_sets, b_sets = _corner_scene()
+    n_sub = 4
+    out = blend_corners(p_via, r_via, bp1, br1, erb, a_sets, b_sets,
+                        length=0.05, n_sub=n_sub)
+    p2, r2, bp1_2, br1_2, erb2, a2, b2 = out
+    # corner replaced by n_sub+1 points
+    assert len(p2) == 3 - 1 + (n_sub + 1)
+    assert len(a2) == len(p2) - 1
+    # endpoints unchanged
+    np.testing.assert_allclose(p2[0], p_via[0])
+    np.testing.assert_allclose(p2[-1], p_via[-1])
+    # every via inside its segment's set (both adjacent segments checked)
+    for i in range(len(p2) - 1):
+        assert np.max(a2[i] @ p2[i] - b2[i]) <= 1e-8
+        assert np.max(a2[i] @ p2[i + 1] - b2[i]) <= 1e-8
+    # tangent discontinuity at each interior sub-corner is ~theta/n_sub,
+    # far below the original right angle
+    dirs = [(p2[i + 1] - p2[i]) / np.linalg.norm(p2[i + 1] - p2[i])
+            for i in range(len(p2) - 1)]
+    turns = [np.arccos(np.clip(np.dot(dirs[i], dirs[i + 1]), -1, 1))
+             for i in range(len(dirs) - 1)]
+    assert max(turns) < (np.pi / 2) / n_sub + 0.1
+    # total turn preserved
+    assert abs(sum(turns) - np.pi / 2) < 1e-6
+
+
+def test_blend_corners_skips_tight_sets():
+    """A corner whose spiral would leave the sets stays sharp."""
+    from boundplanner_tpu.path.euler_spiral import blend_corners
+
+    p_via, r_via, bp1, br1, erb, a_sets, b_sets = _corner_scene()
+    # shrink set 0 so its corridor ends EXACTLY at the corner: the blend's
+    # inward cut would leave it
+    eye = np.eye(3)
+    b_sets = [np.concatenate([[0.4, 1e-6, 0.7], -np.array([-0.1, -1e-6, 0.3]),
+                              10.0 * np.ones(9)]),
+              b_sets[1]]
+    out = blend_corners(p_via, r_via, bp1, br1, erb, a_sets, b_sets,
+                        length=0.05, n_sub=4)
+    assert len(out[0]) == 3  # unchanged
+
+
+def test_build_path_spiral_blend_tracks():
+    """An MPC closed loop over a spiral-blended path keeps tracking."""
+    import jax.numpy as jnp
+
+    from boundplanner_tpu.config import MPCParams
+    from boundplanner_tpu.mpc import MPCNode
+
+    p_via, r_via, bp1, br1, erb, a_sets, b_sets = _corner_scene()
+    # pad sets to 15 rows is already satisfied (15 rows each)
+    cfg = MPCParams(sqp_iters=3, qp_iters=8, line_search_steps=3,
+                    warm_shift=True, manual_jac=True)
+    from boundplanner_tpu.robot.model import RobotModel
+    m = RobotModel()
+    q0 = m.inverse_kinematics(p_via[0], r_via[0], np.array(
+        [0.0, 0.6, 0.0, -1.6, 0.0, 0.9, 0.0]))
+    node = MPCNode(q0, params=cfg)
+    node.update_reference(p_via, r_via, bp1, br1, erb, a_sets, b_sets,
+                          obstacles=[], spiral_blend=0.05)
+    # the blended path exists and is longer in via count
+    assert int(node.mpc.carry.path.num_sectors) > 1
+    for _ in range(30):
+        node.step()
+        if float(node.mpc.phi_current[0]) > float(node.mpc.phi_max[0]) - 0.02:
+            break
+    assert float(node.mpc.phi_current[0]) > 0.25, (
+        f"no progress on blended path: phi {float(node.mpc.phi_current[0])}"
+    )
+    assert sum(node.fails) <= 2

@@ -86,6 +86,8 @@ def main():
                 sol = solve_sqp(x0, params, cfg)
                 return {
                     "A_r": r, "A_g": g,
+                    "A_aj": params["a_set_joints"],
+                    "A_bj": params["b_set_joints"],
                     "B_jr": out_jac[2], "B_jg": out_jac[3],
                     "C_x": sol.x, "C_viol": sol.viol,
                 }
@@ -106,8 +108,24 @@ def main():
         cur = tick_lane0(b)
         results[b] = cur
         print(f"--- batch {batches[0]} vs {b} (lane 0, max |diff|) ---")
-        for k in ["A_r", "A_g", "B_jr", "B_jg", "C_x", "C_viol", "D_q", "D_phi"]:
+        for k in ["A_r", "A_g", "A_aj", "A_bj", "B_jr", "B_jg", "C_x",
+                  "C_viol", "D_q", "D_phi"]:
             print(f"  {k:7s} {maxdiff(ref[k], cur[k]):.3e}")
+        # attribute the A_g divergence to constraint blocks: per-step
+        # layout is [15 set | 6 band | 90 link | 1 phi] x (n-1), then
+        # terminal, bounds, slack (`ocp.evaluate`)
+        dg = np.abs(ref["A_g"].astype(np.float64) - cur["A_g"].astype(np.float64))
+        n = cfg.n
+        per = 15 + 6 + 90 + 1
+        steps = dg[: (n - 1) * per].reshape(n - 1, per)
+        blocks = {
+            "set(15)": steps[:, :15], "band(6)": steps[:, 15:21],
+            "link(90)": steps[:, 21:111], "phi(1)": steps[:, 111:],
+            "terminal": dg[(n - 1) * per : (n - 1) * per + 21],
+            "bounds+slack": dg[(n - 1) * per + 21 :],
+        }
+        for name, blk in blocks.items():
+            print(f"    g-block {name:12s} max {blk.max():.3e}  nz {int((blk > 0).sum())}")
 
     # E: heterogeneous fleet lane vs replicated lane (content dependence
     # under the SAME batch-128 program shape)

@@ -112,11 +112,14 @@ def main_dist(ticks: int, nproc: int, devices_per_proc: int):
     )
     wall = time.perf_counter() - t0
     diag = None
+    profs = []
     for rc, out in results:
         # a crashed worker must not leave a "successful" artifact built
         # from its peers' partial DIAG lines
         assert rc == 0, f"dist worker failed (rc={rc}):\n{out[-2000:]}"
         for line in out.splitlines():
+            if line.startswith("PROF "):
+                profs.append(json.loads(line[5:]))
             if line.startswith("DIAG "):
                 d = json.loads(line[5:])
                 if diag is None:
@@ -125,12 +128,19 @@ def main_dist(ticks: int, nproc: int, devices_per_proc: int):
                     # DCN-reduced diagnostics must agree across processes
                     assert all(abs(diag[k] - d[k]) < 1e-6 for k in diag), (diag, d)
     assert diag is not None, "no worker reported diagnostics"
+    t_steady = max(p["t_steady_s"] for p in profs)
     _record("dist_rollout", {
         "processes": nproc,
         "devices_per_process": devices_per_proc,
         "batch": BATCH,
         "ticks": ticks,
         "wall_s": round(wall, 2),
+        # steady-state rollout wall (slowest process, compile excluded —
+        # workers persist compiles in .jax_cache, so a warm deployment
+        # pays t_steady, not wall)
+        "steady_wall_s": round(t_steady, 2),
+        "steady_solves_per_s": round(BATCH * ticks / t_steady, 1),
+        "t_first_s": max(p["t_first_s"] for p in profs),
         **{k: round(v, 6) for k, v in diag.items()},
     })
 
@@ -139,6 +149,11 @@ def main_dist_worker(ticks: int):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # the round-4 dist rung spent ~90% of its 678 s wall in per-process
+    # XLA compiles paid EVERY run: workers never enabled the persistent
+    # cache main_tpu uses. CPU compiles cache the same way.
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     from boundplanner_tpu.parallel import distributed as dist
 
     dist.initialize()
@@ -150,7 +165,16 @@ def main_dist_worker(ticks: int):
     carry_l = jax.tree.map(lambda x: x[sl], fleet["carry"])
     obs_l = jax.tree.map(lambda x: x[sl], fleet["obs"])
     q0_l = fleet["q0"][sl]
+    t0 = time.perf_counter()
     _, _, diag = dist.distributed_rollout(carry_l, q0_l, obs_l, cfg, ticks)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, _, diag = dist.distributed_rollout(carry_l, q0_l, obs_l, cfg, ticks)
+    t_steady = time.perf_counter() - t0
+    # PROF is per-process (walls differ); DIAG must bit-agree across procs
+    print("PROF " + json.dumps(
+        {"t_first_s": round(t_first, 2), "t_steady_s": round(t_steady, 2)}
+    ), flush=True)
     print("DIAG " + json.dumps(diag), flush=True)
 
 
