@@ -627,6 +627,8 @@ class BoundMPC:
         p0=np.zeros(6),
         params: MPCParams | None = None,
         warm_carry: bool = True,
+        spiral_blend: float = 0.0,
+        spiral_sub: int = 4,
     ):
         """Replanning hand-off (ref `BoundMPC.update:271-336`).
 
@@ -651,7 +653,8 @@ class BoundMPC:
         self.obs = build_obstacle_arrays(obstacles, size_increase=0.0)
         path = build_path(
             pos_points, rot_points, bp1, br1, e_r_bound, a_sets, b_sets,
-            nr_segs=cfg.nr_segs,
+            nr_segs=cfg.nr_segs, spiral_blend=spiral_blend,
+            spiral_sub=spiral_sub,
         )
         old = self.carry
         carry = init_carry(path, p0, cfg, self.dtype)

@@ -79,14 +79,19 @@ class MPCNode:
         self.p0, _, _ = self.robot_model.forward_kinematics(self.q0, self.q0)
         self.reset()
 
-    def update_reference(self, p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets, obstacles):
-        """New plan hand-off (ref `MPCNode.update_reference:82-104`)."""
+    def update_reference(self, p_via, r_via, bp1, br1, e_r_bound, a_sets,
+                         b_sets, obstacles, spiral_blend: float = 0.0,
+                         spiral_sub: int = 4):
+        """New plan hand-off (ref `MPCNode.update_reference:82-104`).
+        ``spiral_blend > 0`` opts into euler-spiral corner blending
+        (`path.euler_spiral.blend_corners`)."""
         self.p0 = self.p_lie.copy()
         self.q0 = self.q.copy()
         self.qf = self.q0.copy()
         self.mpc.update(
             p_via, r_via, bp1, br1, e_r_bound, a_sets, b_sets, obstacles,
             self.v, p0=self.p0, params=self.params,
+            spiral_blend=spiral_blend, spiral_sub=spiral_sub,
         )
 
     def step(self, verbose: bool = False):

@@ -133,6 +133,13 @@ def blend_corners(
     slerped at the sub-points' fractional positions so the integrated
     rotation reference is unchanged at the original vias.
 
+    When the path feeds the MPC, keep ``2 * length / n_sub`` (the
+    sub-segment length) comparable to the horizon's per-tick advance:
+    with n_sub=4 at length=0.05 the 0.025 m sub-segments shrink the
+    nr_segs=4 OCP window to ~0.1 m of lookahead against a 1.5 s horizon
+    and the solve wedges on the window's phi cap (measured, round 5);
+    n_sub=2 tracks cleanly.
+
     A corner is blended only if (a) both adjacent segments leave room for
     the blend (plus room for the neighboring corners' blends), and (b)
     every sampled spiral point stays inside the convex set of the segment

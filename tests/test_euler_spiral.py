@@ -148,15 +148,21 @@ def test_build_path_spiral_blend_tracks():
     q0 = m.inverse_kinematics(p_via[0], r_via[0], np.array(
         [0.0, 0.6, 0.0, -1.6, 0.0, 0.9, 0.0]))
     node = MPCNode(q0, params=cfg)
+    # spiral_sub=2 keeps sub-segments ~0.05 m: with n_sub=4 the 0.025 m
+    # sub-segments shrink the nr_segs=4 window to ~0.1 m of lookahead
+    # against a 1.5 s horizon and the solve wedges on the window cap
+    # (measured: 16/30 failed ticks at n_sub=4 vs 0 at n_sub=2)
     node.update_reference(p_via, r_via, bp1, br1, erb, a_sets, b_sets,
-                          obstacles=[], spiral_blend=0.05)
+                          obstacles=[], spiral_blend=0.05, spiral_sub=2)
     # the blended path exists and is longer in via count
     assert int(node.mpc.carry.path.num_sectors) > 1
-    for _ in range(30):
+    for _ in range(45):
         node.step()
-        if float(node.mpc.phi_current[0]) > float(node.mpc.phi_max[0]) - 0.02:
+        if float(node.mpc.phi_current[0]) > float(node.mpc.phi_max[0]) - 0.005:
             break
-    assert float(node.mpc.phi_current[0]) > 0.25, (
-        f"no progress on blended path: phi {float(node.mpc.phi_current[0])}"
+    assert float(node.mpc.phi_current[0]) > float(node.mpc.phi_max[0]) - 0.03, (
+        f"did not near path end: phi {float(node.mpc.phi_current[0])}"
+        f"/{float(node.mpc.phi_max[0])}"
     )
+    assert np.linalg.norm(node.p_lie[:3] - p_via[-1]) < 0.05
     assert sum(node.fails) <= 2

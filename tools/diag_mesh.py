@@ -9,7 +9,7 @@ per-scene failure sets, so flips can be classified:
 - systematic (backend semantics): the same scenes fail at both dtypes.
 
 Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       python tools/diag_mesh.py [f32|f64] [ticks=10]
+       python tools/diag_mesh.py [f32|f64] [ticks=10] [knob=value ...]
 """
 import os
 import sys
@@ -39,6 +39,16 @@ def main():
     from boundplanner_tpu.parallel.mesh import make_mesh
 
     cfg = perf_mpc_params()
+    if len(sys.argv) > 3:
+        import dataclasses
+
+        kv = {}
+        for a in sys.argv[3:]:
+            k, v = a.split("=")
+            cur = getattr(cfg, k)
+            kv[k] = type(cur)(int(v) if v.lstrip("-").isdigit() else v)
+        cfg = dataclasses.replace(cfg, **kv)
+        print(f"# overrides: {kv}")
     fleet = fleet_cache.load(fleet_cache.cache_path(128, 7, cfg.nr_segs))
     cast = lambda x: (  # noqa: E731
         np.asarray(x).astype(dt)
