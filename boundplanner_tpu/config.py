@@ -250,8 +250,22 @@ def perf_mpc_params() -> MPCParams:
       dominated by one structural scene and one marginal-spiral scene
       the (6,8) retry cannot rescue); kept available for
       throughput-bound deployments (chunked 10k fleets amortize the
-      retry across chunks)."""
-    return MPCParams(sqp_iters=3, qp_iters=5, qp_gondzio=1,
+      retry across chunks).
+    - qp_iters=4 + qp_gondzio=2 (round 5): REVISIT of the round-2
+      rejection above — that blowup (max viol 1.2) predates
+      deep_fail_ticks=3 (which bounds failure spirals) and the round-4
+      FK/residual reassociations (after which the marginal-spiral scene
+      class tracks, ROUND5_NOTES). At the round-5 tree the full 4-gate
+      ledger passes: IPM microbench 19.46 -> 17.92 ms (+8.6%); 128x20
+      fleet 5880 solves/s, success 0.9922, viol bit-identical 0.0084,
+      phi +12%; 128x50 fleet 6205 solves/s (+5.3%), success 0.9920,
+      viol 0.078 (braked-attempt class, well under the 0.68 historical
+      bound), phi +13%; scene-43 replay PERFECT (30/30, viol 0.0000,
+      phi 0.831); CPU obstacle 40 ticks / 0 fallbacks / 0.99 mm. One
+      less KKT factorization per IPM iteration; the second Gondzio
+      corrector (cheap solves against the existing factor) carries the
+      accuracy."""
+    return MPCParams(sqp_iters=3, qp_iters=4, qp_gondzio=2,
                      line_search_steps=4,
                      pallas_kkt=True, warm_shift=True, qp_bf16=True,
                      qp_bf16_rd=True,

@@ -108,7 +108,7 @@ def main_dist(ticks: int, nproc: int, devices_per_proc: int):
         env_extra={
             "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices_per_proc}",
         },
-        timeout=5400,
+        timeout=12000,
     )
     wall = time.perf_counter() - t0
     diag = None
