@@ -150,6 +150,14 @@ class MPCParams:
     # attempted-solve violation grows 0.07 -> 4.2; a shallower bar
     # brakes (and re-anchors) within a few ticks instead
     deep_fail_ticks: int = 0
+    # fallback collision guard (round 5; exceeds the reference's blind
+    # stale-plan replay, `BoundMPC.py:728-733`): on a FAILED tick, if the
+    # reused horizon's first 3 EE steps would enter an obstacle box,
+    # engage safe-stop braking immediately instead of after
+    # deep_fail_ticks more replays. Measured motive + A/B in ROUND5_NOTES
+    # (CPU-mesh executed-EE excursion 3.2 cm -> guard). Default ON: it
+    # only acts on failed ticks whose replay is provably colliding.
+    fallback_guard: bool = True
 
     def __post_init__(self):
         if not self.weights:

@@ -338,6 +338,25 @@ def mpc_tick(carry: MPCCarry, meas: dict, obs: ObstacleArrays, cfg: MPCParams):
     # s^3 + (1.5/dt)s^2 + (0.5/dt^2)s + (0.08/dt^3): Routh 1.5*0.5 > 0.08
     # -> stable crawl back into the box.
     deep = use_prev & (error_count >= deep_bar)
+    if cfg.fallback_guard:
+        # Fallback collision guard (round 5; EXCEEDS the reference, which
+        # replays the stale plan blindly, `BoundMPC.py:728-733`): if the
+        # REUSED horizon's near-term EE path would enter an obstacle box,
+        # engage the safe-stop braking NOW instead of after
+        # deep_fail_ticks more replays. Measured motive: on the CPU mesh
+        # a backend-flipped failing scene's unchecked pre-brake replay
+        # swept the executed EE 3.2 cm into a box (ROUND5_NOTES). Only
+        # the first 3 steps are checked — they are what can execute
+        # before the deep bar engages anyway; a stale TAIL clipping a box
+        # is recoverable and should not trigger a park. Point-in-box via
+        # the H-rep: inside iff every row is negative.
+        rows_g = (
+            jnp.einsum("mri,ki->kmr", obs.a, p_out[1:4, :3])
+            - obs.b[None]
+        )
+        pen_g = -jnp.max(rows_g, axis=-1)                    # (3, M)
+        pen_g = jnp.where(obs.mask[None], pen_g, -jnp.inf)
+        deep = deep | (use_prev & (jnp.max(pen_g) > 0.0))
     q_target = jnp.clip(
         meas["q0"],
         jnp.asarray(q_lim_lower, dtype) + 0.03,

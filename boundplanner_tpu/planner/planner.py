@@ -469,7 +469,7 @@ class BoundPlanner:
         self.l_ee = np.asarray(r0) @ np.array([-par.length_ee, 0, 0])
         self.l_ee_end = np.asarray(r1) @ np.array([-par.length_ee, 0, 0])
 
-    def _push_point_free(self, p):
+    def _push_point_free(self, p, which="end"):
         """Project a point out of any obstacle it violates
         (ref `BoundPlanner.py:199-204`)."""
         par = self.params
@@ -477,7 +477,9 @@ class BoundPlanner:
             a_ob, b_ob = _strip(ob[0], ob[1])
             viol = a_ob @ p - b_ob
             if not np.any(viol > 0):
-                self._log("(PosPath) Projecting end point to collision free space")
+                self._log(
+                    f"(PosPath) Projecting {which} point to collision free space"
+                )
                 idx = int(np.argmax(viol))
                 p = p - (viol[idx] - par.obs_size_increase) * a_ob[idx]
         return p
@@ -565,6 +567,21 @@ class BoundPlanner:
         self.p_horizon = list(p_horizon)
 
         end = self._push_point_free(end)
+        if not replanning:
+            # Round-5 soundness fix (EXCEEDS the reference, which pushes
+            # only the END point free for fresh plans, `BoundPlanner.py:199-204`,
+            # and the start only when replanning, `:296-318`): a start set
+            # grown from a seed INSIDE an obstacle cannot be separated
+            # from that obstacle — the measured result was segment-0 sets
+            # overlapping a box by 3-5 cm on fleet scenes whose sampled
+            # boxes land on the start EE, i.e. a corridor the MPC
+            # faithfully tracks THROUGH the box (ROUND5_NOTES). Growing
+            # from the projected-free start makes the corridor sound; the
+            # robot starts slightly outside segment 0 (phi < 0, slack
+            # absorbs the initial set violation) and tracking pulls it
+            # out of the box and into the corridor. No-op for collision-
+            # free starts (bit-identical plans).
+            start = self._push_point_free(start, which="start")
         self._prepare_rotation(r0, r1)
 
         roadmap = SetRoadmap(
